@@ -1,0 +1,86 @@
+"""Benchmark: batched gate bootstraps/sec/chip at the default 128-bit params.
+
+Prints ONE JSON line:
+  {"metric": "gate_bootstraps_per_sec_per_chip", "value": N,
+   "unit": "bootstraps/s", "vs_baseline": N / 10000}
+
+vs_baseline is relative to the BASELINE.md target (>= 10k batched gate
+bootstraps/s/chip; the reference publishes no numbers of its own —
+BASELINE.json "published": {}).
+
+Env knobs: EOC_BENCH_BATCH (default 256), EOC_BENCH_ITERS (default 4),
+EOC_BENCH_PARAMS (128|80|test).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from eoc_tfhe_tpu.core import gates, keys, bootstrap
+    from eoc_tfhe_tpu.core.params import (default_128bit_params,
+                                          default_80bit_params, test_params)
+
+    which = os.environ.get("EOC_BENCH_PARAMS", "128")
+    params = {"128": default_128bit_params, "80": default_80bit_params,
+              "test": test_params}[which]()
+    B = int(os.environ.get("EOC_BENCH_BATCH", "256"))
+    iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
+
+    t0 = time.time()
+    keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
+    ek = bootstrap.prepare_eval_key(keyset.cloud)
+    jax.block_until_ready(ek.bk_rows)
+    print(f"# keygen {time.time() - t0:.1f}s on {jax.devices()[0].platform}",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2, B).astype(bool)
+    b = rng.integers(0, 2, B).astype(bool)
+    ca = gates.encrypt_bit(jax.random.key(1), jnp.asarray(a), keyset.lwe_key, params)
+    cb = gates.encrypt_bit(jax.random.key(2), jnp.asarray(b), keyset.lwe_key, params)
+
+    @jax.jit
+    def nand_step(ca, cb, ek):
+        out = gates.nand(ca, cb, ek, params)
+        return out.a, out.b
+
+    # Warmup/compile.
+    t0 = time.time()
+    out = nand_step(ca, cb, ek)
+    jax.block_until_ready(out)
+    print(f"# compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # Timed.
+    t0 = time.time()
+    for _ in range(iters):
+        out = nand_step(ca, cb, ek)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    bootstraps_per_sec = B / dt
+
+    # Correctness spot check while we're here.
+    from eoc_tfhe_tpu.core.lwe import LweCiphertext
+    out_ct = LweCiphertext(a=out[0], b=out[1],
+                           current_variance=jnp.zeros_like(out[1], jnp.float32))
+    got = gates.decrypt_bit(out_ct, keyset.lwe_key)
+    ok = bool(np.array_equal(got, ~(a & b)))
+    print(f"# batch={B} per-gate={dt / B * 1e3:.3f}ms correct={ok}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "gate_bootstraps_per_sec_per_chip",
+        "value": round(float(bootstraps_per_sec), 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(float(bootstraps_per_sec) / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

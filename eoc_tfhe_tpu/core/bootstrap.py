@@ -1,0 +1,131 @@
+"""Gate bootstrapping: blind rotation, sample extraction, key switching.
+
+TPU-native re-implementation of upstream ``lwe-bootstrapping-functions[-fft].cpp``
+(SURVEY.md §3.5 — the north-star hot path). Differences from the reference:
+
+  * Batched: every function maps over leading batch dims; the blind-rotate
+    loop is a single ``lax.scan`` over the n TGSW rows with the whole batch
+    advancing together (the reference loops one sample at a time).
+  * The per-iteration CMux uses the exact int8-limb MXU external product
+    (``ops/polymul.small_by_torus_matmul``) instead of f64 FFTs; results are
+    exact mod 2^32 (strictly less noise than the reference's FFT rounding).
+  * ``bara_i == 0`` iterations are algebraically no-ops here (decompose(0)=0),
+    so the reference's ``continue`` needs no branch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import GateBootstrappingParams
+from .numeric import mod_switch_from_torus32
+from .lwe import LweCiphertext
+from .tlwe import TLweCiphertext, tlwe_noiseless_trivial, tlwe_extract_lwe_sample
+from .tgsw import decompose_h
+from .keys import BootstrappingKey, CloudKeySet
+from ..ops import polymul, rotate
+from ..ops.keyswitch import prepare_keyswitch_matmul, keyswitch_apply
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EvalKey:
+    """Device-prepared evaluation key (the analog of the reference's
+    ``LweBootstrappingKeyFFT`` — precomputed fast-path form of the cloud keys)."""
+
+    bk_rows: jax.Array      # (n, kpl, k+1, N) int32 TGSW rows
+    bk_variance: jax.Array  # () float32
+    ks_prepared: jax.Array  # (n_in*t*base, (n_out+1)*LIMBS) int8
+    ks: object              # KeySwitchKey (for metadata/variance)
+
+    @property
+    def n(self) -> int:
+        return self.bk_rows.shape[0]
+
+
+def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
+    bk = cloud.bk
+    return EvalKey(bk_rows=bk.bk, bk_variance=bk.bk_variance,
+                   ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks)
+
+
+def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
+                     params: GateBootstrappingParams,
+                     rotation_impl: str = "gather") -> jax.Array:
+    """One blind-rotate iteration (upstream ``tfhe_MuxRotate_FFT``):
+
+        acc <- acc + bk_i ⊡ ((X^{bara_i} - 1) * acc)
+
+    Args:
+      acc:    (..., k+1, N) int32 accumulator polynomials.
+      bk_row: (kpl, k+1, N) int32 TGSW rows for LWE key bit i (shared).
+      bara_i: (...) int32 per-sample rotation amounts in [0, 2N).
+    """
+    tg = params.tgsw_params
+    d = rotate.mul_by_xai(acc, bara_i[..., None], impl=rotation_impl) - acc
+    digits = decompose_h(d.astype(jnp.int32), tg)                  # (..., kpl, N)
+    delta = polymul.small_by_torus_matmul(digits, bk_row, x_bound=tg.halfBg)
+    return (acc + delta).astype(jnp.int32)
+
+
+def blind_rotate(acc0: jax.Array, bara: jax.Array, bk_rows: jax.Array,
+                 params: GateBootstrappingParams,
+                 rotation_impl: str = "gather", unroll: int = 1) -> jax.Array:
+    """``tfhe_blindRotate``: scan the CMux step over the n TGSW rows.
+
+    Args:
+      acc0: (..., k+1, N) int32 initial accumulator.
+      bara: (..., n) int32 per-sample rotation amounts.
+      bk_rows: (n, kpl, k+1, N) int32.
+    """
+    bara_t = jnp.moveaxis(bara, -1, 0)  # (n, ...)
+
+    def step(acc, xs):
+        bk_row, bara_i = xs
+        return cmux_rotate_step(acc, bk_row, bara_i, params, rotation_impl), None
+
+    acc, _ = jax.lax.scan(step, acc0, (bk_rows, bara_t), unroll=unroll)
+    return acc
+
+
+def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
+                   params: GateBootstrappingParams,
+                   rotation_impl: str = "gather") -> LweCiphertext:
+    """``tfhe_bootstrap_woKS_FFT``: blind-rotate a testvector and extract.
+
+    Returns an LWE sample over k*N encrypting ``mu * sign(phase in upper half)``
+    — precisely: mu if phase(ct) in [-N/2N..), following upstream semantics.
+    """
+    tl = params.tgsw_params.tlwe_params
+    N, k, Nx2 = tl.N, tl.k, 2 * tl.N
+
+    barb = mod_switch_from_torus32(ct.b, Nx2)                      # (...)
+    bara = mod_switch_from_torus32(ct.a, Nx2)                      # (..., n)
+
+    mu = jnp.asarray(mu, jnp.int32)
+    testvect = jnp.broadcast_to(mu[..., None], ct.b.shape + (N,)).astype(jnp.int32)
+    # acc = X^{2N - barb} * testvect  (as trivial TLWE)
+    rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
+    acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
+
+    acc = blind_rotate(acc0, bara, ek.bk_rows, params, rotation_impl)
+
+    tl_ct = TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32))
+    out = tlwe_extract_lwe_sample(tl_ct)
+    n_var = float(params.n * params.tgsw_params.kpl * N * (params.tgsw_params.halfBg ** 2))
+    var = jnp.broadcast_to(jnp.float32(n_var) * ek.bk_variance, ct.b.shape)
+    return LweCiphertext(a=out.a, b=out.b, current_variance=var)
+
+
+def bootstrap(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
+              params: GateBootstrappingParams,
+              rotation_impl: str = "gather") -> LweCiphertext:
+    """``tfhe_bootstrap_FFT``: woKS bootstrap followed by key switching."""
+    u = bootstrap_woKS(mu, ct, ek, params, rotation_impl)
+    return keyswitch_apply(u, ek.ks, t=params.ks.t, basebit=params.ks.basebit,
+                           prepared=ek.ks_prepared)

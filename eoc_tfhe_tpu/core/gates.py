@@ -1,0 +1,154 @@
+"""Boolean gate API: batched bootstrapped gates.
+
+TPU-native re-implementation of upstream ``boot-gates.cpp`` (SURVEY.md §2.2 —
+required by BASELINE.json configs[1-2] even though the reference wrapper never
+calls it). Every gate is batched-first: inputs are LWE ciphertext batches of
+any (matching) leading shape, and one call evaluates the whole batch with a
+single blind-rotate scan.
+
+Encoding: booleans are mu = ±1/8 on the torus (upstream ``bootsSymEncrypt``),
+i.e. Torus32 value ±2^29.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import GateBootstrappingParams
+from .numeric import mod_switch_to_torus32_np, double_to_t32, gaussian32
+from .lwe import (LweCiphertext, LweKey, lwe_add, lwe_sub, lwe_negate,
+                  lwe_noiseless_trivial, lwe_sym_encrypt, lwe_phase,
+                  lwe_add_mul, lwe_sub_mul)
+from .bootstrap import EvalKey, bootstrap, bootstrap_woKS
+from ..ops.keyswitch import keyswitch_apply
+
+#: mu for "true"/"false": 1/8 and -1/8 (upstream _1s8).
+MU_BOOL = double_to_t32(0.125)          # == 2**29
+_1S8 = MU_BOOL
+
+
+def _t32(num: int, den: int) -> int:
+    """modSwitchToTorus32(num, den) as a host constant."""
+    return int(mod_switch_to_torus32_np(num, den))
+
+
+def encrypt_bit(key: jax.Array, bits: jax.Array, sk_lwe: LweKey,
+                params: GateBootstrappingParams, alpha: float | None = None
+                ) -> LweCiphertext:
+    """``bootsSymEncrypt``: bit -> LWE(+-1/8) at the keyswitch noise level."""
+    if alpha is None:
+        alpha = params.in_out_params.alpha_min
+    mu = jnp.where(jnp.asarray(bits).astype(jnp.bool_), jnp.int32(MU_BOOL),
+                   jnp.int32(-MU_BOOL))
+    return lwe_sym_encrypt(key, mu, alpha, sk_lwe)
+
+
+def decrypt_bit(ct: LweCiphertext, sk_lwe: LweKey) -> np.ndarray:
+    """``bootsSymDecrypt``: sign of the phase."""
+    phase = np.asarray(lwe_phase(ct, sk_lwe))
+    return phase > 0
+
+
+# ---------------------------------------------------------------------------
+# Linear-only gates (no bootstrap) — upstream bootsNOT/COPY/CONSTANT.
+# ---------------------------------------------------------------------------
+
+def not_(ct: LweCiphertext) -> LweCiphertext:
+    return lwe_negate(ct)
+
+
+def copy(ct: LweCiphertext) -> LweCiphertext:
+    return ct
+
+
+def constant(value: jax.Array, params: GateBootstrappingParams) -> LweCiphertext:
+    """``bootsCONSTANT``: noiseless trivial +-1/8."""
+    mu = jnp.where(jnp.asarray(value).astype(jnp.bool_), jnp.int32(MU_BOOL),
+                   jnp.int32(-MU_BOOL))
+    return lwe_noiseless_trivial(mu, params.n)
+
+
+# ---------------------------------------------------------------------------
+# Bootstrapped two-input gates. Each computes a linear combination into a
+# temp LWE sample, then bootstraps with mu = 1/8 (upstream boot-gates.cpp).
+# ---------------------------------------------------------------------------
+
+def _gate(offset_t32: int, ca: LweCiphertext, cb: LweCiphertext,
+          sa: int, sb: int, ek: EvalKey, params: GateBootstrappingParams,
+          rotation_impl: str = "gather") -> LweCiphertext:
+    """temp = (0, offset) + sa*ca + sb*cb ; bootstrap(mu=1/8, temp)."""
+    temp = lwe_noiseless_trivial(
+        jnp.broadcast_to(jnp.int32(offset_t32), ca.b.shape), ca.n)
+    temp = lwe_add_mul(temp, sa, ca)
+    temp = lwe_add_mul(temp, sb, cb)
+    return bootstrap(jnp.int32(_1S8), temp, ek, params, rotation_impl)
+
+
+def nand(ca, cb, ek, params, rotation_impl="gather"):
+    """NAND = bootstrap((0,1/8) - ca - cb)."""
+    return _gate(_t32(1, 8), ca, cb, -1, -1, ek, params, rotation_impl)
+
+
+def and_(ca, cb, ek, params, rotation_impl="gather"):
+    """AND = bootstrap((0,-1/8) + ca + cb)."""
+    return _gate(_t32(-1, 8), ca, cb, 1, 1, ek, params, rotation_impl)
+
+
+def or_(ca, cb, ek, params, rotation_impl="gather"):
+    """OR = bootstrap((0,1/8) + ca + cb)."""
+    return _gate(_t32(1, 8), ca, cb, 1, 1, ek, params, rotation_impl)
+
+
+def nor(ca, cb, ek, params, rotation_impl="gather"):
+    """NOR = bootstrap((0,-1/8) - ca - cb)."""
+    return _gate(_t32(-1, 8), ca, cb, -1, -1, ek, params, rotation_impl)
+
+
+def xor_(ca, cb, ek, params, rotation_impl="gather"):
+    """XOR = bootstrap((0,1/4) + 2*(ca + cb))."""
+    return _gate(_t32(1, 4), ca, cb, 2, 2, ek, params, rotation_impl)
+
+
+def xnor(ca, cb, ek, params, rotation_impl="gather"):
+    """XNOR = bootstrap((0,-1/4) - 2*(ca + cb))."""
+    return _gate(_t32(-1, 4), ca, cb, -2, -2, ek, params, rotation_impl)
+
+
+def andny(ca, cb, ek, params, rotation_impl="gather"):
+    """ANDNY = (not a) and b = bootstrap((0,-1/8) - ca + cb)."""
+    return _gate(_t32(-1, 8), ca, cb, -1, 1, ek, params, rotation_impl)
+
+
+def andyn(ca, cb, ek, params, rotation_impl="gather"):
+    """ANDYN = a and (not b) = bootstrap((0,-1/8) + ca - cb)."""
+    return _gate(_t32(-1, 8), ca, cb, 1, -1, ek, params, rotation_impl)
+
+
+def orny(ca, cb, ek, params, rotation_impl="gather"):
+    """ORNY = (not a) or b = bootstrap((0,1/8) - ca + cb)."""
+    return _gate(_t32(1, 8), ca, cb, -1, 1, ek, params, rotation_impl)
+
+
+def oryn(ca, cb, ek, params, rotation_impl="gather"):
+    """ORYN = a or (not b) = bootstrap((0,1/8) + ca - cb)."""
+    return _gate(_t32(1, 8), ca, cb, 1, -1, ek, params, rotation_impl)
+
+
+def mux(c, a, b, ek, params, rotation_impl="gather"):
+    """MUX(c, a, b) = c ? a : b — two woKS bootstraps + add + one keyswitch
+    (upstream ``bootsMUX``)."""
+    # u1 = bootstrap_woKS((0,-1/8) + c + a), u2 = bootstrap_woKS((0,-1/8) - c + b)
+    in1 = LweCiphertext(a=(c.a + a.a).astype(jnp.int32), b=(jnp.int32(_t32(-1, 8)) + c.b + a.b).astype(jnp.int32),
+                        current_variance=c.current_variance + a.current_variance)
+    in2 = LweCiphertext(a=(b.a - c.a).astype(jnp.int32), b=(jnp.int32(_t32(-1, 8)) - c.b + b.b).astype(jnp.int32),
+                        current_variance=c.current_variance + b.current_variance)
+    u1 = bootstrap_woKS(jnp.int32(_t32(1, 8)), in1, ek, params, rotation_impl)
+    u2 = bootstrap_woKS(jnp.int32(_t32(1, 8)), in2, ek, params, rotation_impl)
+    # t = (0, 1/8) + u1 + u2, then keyswitch
+    summed = LweCiphertext(a=(u1.a + u2.a).astype(jnp.int32),
+                           b=(jnp.int32(_t32(1, 8)) + u1.b + u2.b).astype(jnp.int32),
+                           current_variance=u1.current_variance + u2.current_variance)
+    return keyswitch_apply(summed, ek.ks, t=params.ks.t, basebit=params.ks.basebit,
+                           prepared=ek.ks_prepared)

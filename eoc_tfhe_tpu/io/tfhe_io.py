@@ -1,0 +1,349 @@
+"""tfhe_io-compatible serialization codec.
+
+Re-implements the reference core's serialization layer (upstream
+``tfhe_io.cpp`` / ``tfhe_generic_streams.cpp``; wrapper call sites
+``export_tfheGateBootstrappingSecretKeySet_toStream`` at
+``/root/reference/ao-tfhe/eoc-tfhe-run.cpp:236`` and
+``export/import_lweSample`` at ``:264,294,331,372,409,444-445,454,487-488,497``).
+
+Format evidence extracted from the shipped reference binary
+(``WcCL.../process.wasm`` — data-segment strings and a disassembly of
+``import_lweSample_fromStream``):
+
+  * Text-mode property sections with markers ``-----BEGIN <TITLE>-----`` /
+    ``-----END <TITLE>-----`` and ``key: value`` lines
+    (``MapTextModeProperties`` / ``print_TextModeProperties_toOStream``
+    in the wasm name section). Section titles present in the binary:
+    ``LWEPARAMS``, ``TLWEPARAMS``, ``TGSWPARAMS``, ``LWEKSPARAMS``,
+    ``GATEBOOTSPARAMS``. Property keys present: ``alpha_min``, ``alpha_max``,
+    ``Bgbit``, ``ks_basebit`` (shorter keys such as ``n``/``N``/``k``/``l``/
+    ``ks_t`` are SSO-inlined in code and invisible to a string scan).
+  * Binary records carry a little-endian int32 type UID; the UID table
+    embedded in the wasm data segment (offset 0x352656-region) is
+    ``{42, 43, 169, 200, 201}``, and ``import_lweSample_fromStream``
+    checks UID 42.
+
+UID assignment below: ``LWE_SAMPLE=42`` is verified (import check); the
+remaining four are assigned in table order to the remaining binary record
+types in upstream declaration order (LweKey, TLweSample, TLweKey, TGswKey).
+Revalidate against a checkout of ``tfhe/tfhe @ bc71bfae`` when network access
+allows (SURVEY.md appendix B); all layout constants live in this module only.
+"""
+
+from __future__ import annotations
+
+import base64
+import io as _io
+import struct
+
+import numpy as np
+
+from ..core.params import (GateBootstrappingParams, KeySwitchParams, LweParams,
+                           TGswParams, TLweParams)
+
+# Verified: import_lweSample_fromStream checks 42.
+LWE_SAMPLE_UID = 42
+# Reconstructed (table order; see module docstring).
+LWE_KEY_UID = 43
+TLWE_SAMPLE_UID = 169
+TLWE_KEY_UID = 200
+TGSW_KEY_UID = 201
+
+_I32 = struct.Struct("<i")
+_F64 = struct.Struct("<d")
+
+
+# ---------------------------------------------------------------------------
+# Text-mode property sections.
+# ---------------------------------------------------------------------------
+
+def write_section(f, title: str, props: dict) -> None:
+    f.write(f"-----BEGIN {title}-----\n".encode())
+    for k, v in props.items():
+        if isinstance(v, float):
+            v = repr(v)
+        f.write(f"{k}: {v}\n".encode())
+    f.write(f"-----END {title}-----\n".encode())
+
+
+def read_section(f, expect_title: str | None = None) -> tuple[str, dict]:
+    line = f.readline().decode().rstrip("\n")
+    if not (line.startswith("-----BEGIN ") and line.endswith("-----")):
+        raise ValueError(f"bad section header: {line!r}")
+    title = line[len("-----BEGIN "):-len("-----")]
+    if expect_title is not None and title != expect_title:
+        raise ValueError(f"expected section {expect_title}, got {title}")
+    props: dict = {}
+    while True:
+        line = f.readline().decode().rstrip("\n")
+        if line == f"-----END {title}-----":
+            return title, props
+        k, _, v = line.partition(": ")
+        props[k] = v
+
+
+# ---------------------------------------------------------------------------
+# Parameter sections.
+# ---------------------------------------------------------------------------
+
+def write_lwe_params(f, p: LweParams) -> None:
+    write_section(f, "LWEPARAMS",
+                  {"n": p.n, "alpha_min": p.alpha_min, "alpha_max": p.alpha_max})
+
+
+def read_lwe_params(f) -> LweParams:
+    _, pr = read_section(f, "LWEPARAMS")
+    return LweParams(n=int(pr["n"]), alpha_min=float(pr["alpha_min"]),
+                     alpha_max=float(pr["alpha_max"]))
+
+
+def write_tlwe_params(f, p: TLweParams) -> None:
+    write_section(f, "TLWEPARAMS",
+                  {"N": p.N, "k": p.k, "alpha_min": p.alpha_min, "alpha_max": p.alpha_max})
+
+
+def read_tlwe_params(f) -> TLweParams:
+    _, pr = read_section(f, "TLWEPARAMS")
+    return TLweParams(N=int(pr["N"]), k=int(pr["k"]), alpha_min=float(pr["alpha_min"]),
+                      alpha_max=float(pr["alpha_max"]))
+
+
+def write_tgsw_params(f, p: TGswParams) -> None:
+    write_section(f, "TGSWPARAMS", {"l": p.l, "Bgbit": p.Bgbit})
+    write_tlwe_params(f, p.tlwe_params)
+
+
+def read_tgsw_params(f) -> TGswParams:
+    _, pr = read_section(f, "TGSWPARAMS")
+    tl = read_tlwe_params(f)
+    return TGswParams(l=int(pr["l"]), Bgbit=int(pr["Bgbit"]), tlwe_params=tl)
+
+
+def write_gate_params(f, p: GateBootstrappingParams) -> None:
+    write_section(f, "GATEBOOTSPARAMS", {"ks_t": p.ks.t, "ks_basebit": p.ks.basebit})
+    write_lwe_params(f, p.in_out_params)
+    write_tgsw_params(f, p.tgsw_params)
+
+
+def read_gate_params(f) -> GateBootstrappingParams:
+    _, pr = read_section(f, "GATEBOOTSPARAMS")
+    in_out = read_lwe_params(f)
+    tgsw = read_tgsw_params(f)
+    return GateBootstrappingParams(
+        ks=KeySwitchParams(t=int(pr["ks_t"]), basebit=int(pr["ks_basebit"])),
+        in_out_params=in_out, tgsw_params=tgsw)
+
+
+# ---------------------------------------------------------------------------
+# Binary records. Layout per upstream write_lweSample: UID, payload.
+# ---------------------------------------------------------------------------
+
+def write_lwe_sample(f, a: np.ndarray, b: int, variance: float) -> None:
+    """``export_lweSample_toStream``: UID 42, a[n] int32 LE, b int32, variance f64."""
+    f.write(_I32.pack(LWE_SAMPLE_UID))
+    f.write(np.asarray(a, "<i4").tobytes())
+    f.write(_I32.pack(int(np.int32(b))))
+    f.write(_F64.pack(float(variance)))
+
+
+def read_lwe_sample(f, n: int) -> tuple[np.ndarray, int, float]:
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != LWE_SAMPLE_UID:
+        raise ValueError(f"bad LweSample UID {uid}")
+    a = np.frombuffer(f.read(4 * n), "<i4").copy()
+    (b,) = _I32.unpack(f.read(4))
+    (var,) = _F64.unpack(f.read(8))
+    return a, b, var
+
+
+def lwe_sample_num_bytes(n: int) -> int:
+    return 4 + 4 * n + 4 + 8
+
+
+def write_lwe_key(f, key_coefs: np.ndarray) -> None:
+    f.write(_I32.pack(LWE_KEY_UID))
+    f.write(np.asarray(key_coefs, "<i4").tobytes())
+
+
+def read_lwe_key(f, n: int) -> np.ndarray:
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != LWE_KEY_UID:
+        raise ValueError(f"bad LweKey UID {uid}")
+    return np.frombuffer(f.read(4 * n), "<i4").copy()
+
+
+def write_tlwe_sample(f, polys: np.ndarray, variance: float) -> None:
+    """(k+1, N) torus polys + variance."""
+    f.write(_I32.pack(TLWE_SAMPLE_UID))
+    f.write(np.asarray(polys, "<i4").tobytes())
+    f.write(_F64.pack(float(variance)))
+
+
+def read_tlwe_sample(f, k: int, N: int) -> tuple[np.ndarray, float]:
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != TLWE_SAMPLE_UID:
+        raise ValueError(f"bad TLweSample UID {uid}")
+    polys = np.frombuffer(f.read(4 * (k + 1) * N), "<i4").reshape(k + 1, N).copy()
+    (var,) = _F64.unpack(f.read(8))
+    return polys, var
+
+
+def write_tlwe_key(f, key: np.ndarray) -> None:
+    f.write(_I32.pack(TLWE_KEY_UID))
+    f.write(np.asarray(key, "<i4").tobytes())
+
+
+def read_tlwe_key(f, k: int, N: int) -> np.ndarray:
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != TLWE_KEY_UID:
+        raise ValueError(f"bad TLweKey UID {uid}")
+    return np.frombuffer(f.read(4 * k * N), "<i4").reshape(k, N).copy()
+
+
+def write_tgsw_key(f, key: np.ndarray) -> None:
+    f.write(_I32.pack(TGSW_KEY_UID))
+    f.write(np.asarray(key, "<i4").tobytes())
+
+
+def read_tgsw_key(f, k: int, N: int) -> np.ndarray:
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != TGSW_KEY_UID:
+        raise ValueError(f"bad TGswKey UID {uid}")
+    return np.frombuffer(f.read(4 * k * N), "<i4").reshape(k, N).copy()
+
+
+# ---------------------------------------------------------------------------
+# Composite: key-switching key, bootstrapping key, keysets.
+# ---------------------------------------------------------------------------
+
+def write_keyswitch_key(f, ks_packed: np.ndarray, variance: float,
+                        basebit: int) -> None:
+    """LWEKSPARAMS section + the n_in*t*base LWE samples in index order."""
+    n_in, t, base, m = ks_packed.shape
+    write_section(f, "LWEKSPARAMS", {"n": n_in, "t": t, "basebit": basebit})
+    flat = ks_packed.reshape(-1, m)
+    for row in flat:
+        write_lwe_sample(f, row[:-1], int(row[-1]), variance)
+
+
+def read_keyswitch_key(f, n_out: int):
+    _, pr = read_section(f, "LWEKSPARAMS")
+    n_in, t, basebit = int(pr["n"]), int(pr["t"]), int(pr["basebit"])
+    base = 1 << basebit
+    rows = np.zeros((n_in * t * base, n_out + 1), np.int32)
+    var = 0.0
+    for i in range(rows.shape[0]):
+        a, b, var = read_lwe_sample(f, n_out)
+        rows[i, :-1] = a
+        rows[i, -1] = b
+    return rows.reshape(n_in, t, base, n_out + 1), var, basebit
+
+
+def write_bootstrapping_key(f, bk_rows: np.ndarray, bk_variance: float,
+                            ks_packed: np.ndarray, ks_variance: float,
+                            basebit: int) -> None:
+    """n TGSW samples (each kpl TLWE samples) + the keyswitch key."""
+    n, kpl, kp1, N = bk_rows.shape
+    for i in range(n):
+        for r in range(kpl):
+            write_tlwe_sample(f, bk_rows[i, r], bk_variance)
+    write_keyswitch_key(f, ks_packed, ks_variance, basebit)
+
+
+def read_bootstrapping_key(f, n: int, params: GateBootstrappingParams):
+    tg = params.tgsw_params
+    kpl, k, N = tg.kpl, tg.tlwe_params.k, tg.tlwe_params.N
+    bk = np.zeros((n, kpl, k + 1, N), np.int32)
+    bk_var = 0.0
+    for i in range(n):
+        for r in range(kpl):
+            bk[i, r], bk_var = read_tlwe_sample(f, k, N)
+    ks, ks_var, _ = read_keyswitch_key(f, params.n)
+    return bk, bk_var, ks, ks_var
+
+
+def export_secret_keyset(keyset, params: GateBootstrappingParams) -> bytes:
+    """``export_tfheGateBootstrappingSecretKeySet_toStream``.
+
+    Order: parameter sections, LweKey, TGswKey, bootstrapping key (bk rows +
+    keyswitch key).
+    """
+    f = _io.BytesIO()
+    write_gate_params(f, params)
+    write_lwe_key(f, np.asarray(keyset.lwe_key.s))
+    write_tgsw_key(f, np.asarray(keyset.tgsw_key.key))
+    bk = keyset.cloud.bk
+    write_bootstrapping_key(f, np.asarray(bk.bk), float(bk.bk_variance),
+                            np.asarray(bk.ks.ks), float(bk.ks.variance),
+                            params.ks.basebit)
+    return f.getvalue()
+
+
+def import_secret_keyset(data: bytes):
+    """Inverse of :func:`export_secret_keyset`. Returns (SecretKeySet, params)."""
+    import jax.numpy as jnp
+    from ..core.keys import (BootstrappingKey, CloudKeySet, KeySwitchKey,
+                             SecretKeySet)
+    from ..core.lwe import LweKey
+    from ..core.tlwe import TLweKey
+
+    f = _io.BytesIO(data)
+    params = read_gate_params(f)
+    s = read_lwe_key(f, params.n)
+    tk = read_tgsw_key(f, params.k, params.N)
+    bk, bk_var, ks, ks_var = read_bootstrapping_key(f, params.n, params)
+    keyset = SecretKeySet(
+        lwe_key=LweKey(s=jnp.asarray(s)),
+        tgsw_key=TLweKey(key=jnp.asarray(tk)),
+        cloud=CloudKeySet(bk=BootstrappingKey(
+            bk=jnp.asarray(bk), bk_variance=jnp.float32(bk_var),
+            ks=KeySwitchKey(ks=jnp.asarray(ks), variance=jnp.float32(ks_var)))))
+    return keyset, params
+
+
+def export_cloud_keyset(cloud, params: GateBootstrappingParams) -> bytes:
+    """``export_tfheGateBootstrappingCloudKeySet`` equivalent (the real
+    "public key" the reference's stub ``generatePublicKey`` never exposed —
+    SURVEY.md appendix A)."""
+    f = _io.BytesIO()
+    write_gate_params(f, params)
+    bk = cloud.bk
+    write_bootstrapping_key(f, np.asarray(bk.bk), float(bk.bk_variance),
+                            np.asarray(bk.ks.ks), float(bk.ks.variance),
+                            params.ks.basebit)
+    return f.getvalue()
+
+
+def import_cloud_keyset(data: bytes):
+    import jax.numpy as jnp
+    from ..core.keys import BootstrappingKey, CloudKeySet, KeySwitchKey
+
+    f = _io.BytesIO(data)
+    params = read_gate_params(f)
+    bk, bk_var, ks, ks_var = read_bootstrapping_key(f, params.n, params)
+    cloud = CloudKeySet(bk=BootstrappingKey(
+        bk=jnp.asarray(bk), bk_variance=jnp.float32(bk_var),
+        ks=KeySwitchKey(ks=jnp.asarray(ks), variance=jnp.float32(ks_var))))
+    return cloud, params
+
+
+# ---------------------------------------------------------------------------
+# Base64 (the wrapper wraps every stream in base64, eoc-tfhe-run.cpp:48-90).
+# ---------------------------------------------------------------------------
+
+def b64encode(data: bytes) -> str:
+    return base64.b64encode(data).decode()
+
+
+def b64decode(s: str) -> bytes:
+    # The reference's decoder stops at the first non-alphabet char and
+    # tolerates missing padding (eoc-tfhe-run.cpp:70-90); mirror that.
+    alphabet = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
+    clean = []
+    for ch in s:
+        if ch not in alphabet:
+            break
+        clean.append(ch)
+    t = "".join(clean)
+    t += "=" * (-len(t) % 4)
+    return base64.b64decode(t)

@@ -1,0 +1,77 @@
+"""LWE key switching as one-hot int8 matmuls.
+
+TPU-native replacement for upstream ``lwe-keyswitch-functions.cpp``
+(``lweKeySwitch`` -> ``lweKeySwitchTranslate_fromArray``; hot loop #2 of
+bootstrapping, SURVEY.md §3.5). The reference's per-coefficient table gather
+(N*t scalar lookups into an 82 MB table) maps poorly to TPU; instead we form
+the digit one-hot tensor and contract it against the limb-decomposed key
+table on the MXU — exact int8 x int8 -> int32 arithmetic, recombined mod 2^32
+(gather-free; SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.lwe import LweCiphertext
+from ..core.keys import KeySwitchKey
+from . import polymul
+
+
+def prepare_keyswitch_matmul(ks: KeySwitchKey) -> jax.Array:
+    """Limb-decompose the packed ks table for int8 matmul.
+
+    Returns (n_in * t * base, (n_out+1) * LIMBS) int8 with the u=0 plane
+    zeroed (upstream skips aij == 0 instead of subtracting an encryption of
+    zero; zeroing the column reproduces that exactly).
+    """
+    n_in, t, base, m = ks.ks.shape
+    table = ks.ks.at[:, :, 0, :].set(0)
+    limbs = polymul.decompose_signed_limbs(table)      # (n_in, t, base, m, L)
+    return limbs.astype(jnp.int8).reshape(n_in * t * base, m * polymul.LIMBS)
+
+
+def keyswitch_digits(a: jax.Array, t: int, basebit: int) -> jax.Array:
+    """Digit extraction with rounding offset (upstream ``lweKeySwitchTranslate``).
+
+    Args:
+      a: (..., n_in) int32 coefficients of the input sample.
+    Returns:
+      (..., n_in, t) int32 digits in [0, base).
+    """
+    base = 1 << basebit
+    prec_offset = jnp.uint32(1 << (32 - (1 + basebit * t)))
+    aibar = a.astype(jnp.uint32) + prec_offset
+    shifts = jnp.array([32 - (j + 1) * basebit for j in range(t)], jnp.uint32)
+    return ((aibar[..., None] >> shifts) & jnp.uint32(base - 1)).astype(jnp.int32)
+
+
+def keyswitch_apply(ct_extracted: LweCiphertext, ks: KeySwitchKey,
+                    t: int, basebit: int,
+                    prepared: jax.Array | None = None) -> LweCiphertext:
+    """``lweKeySwitch``: (a over n_in, b)  ->  LWE over n_out.
+
+    result = (0, b) - sum_{i,j} ks[i, j, digit_ij(a)].
+    """
+    n_in, tt, base, m = ks.ks.shape
+    assert tt == t and base == (1 << basebit)
+    n_out = m - 1
+    if prepared is None:
+        prepared = prepare_keyswitch_matmul(ks)
+
+    digits = keyswitch_digits(ct_extracted.a, t, basebit)          # (..., n_in, t)
+    u = jnp.arange(base, dtype=jnp.int32)
+    onehot = (digits[..., None] == u).astype(jnp.int8)             # (..., n_in, t, base)
+    batch_shape = digits.shape[:-2]
+    x8 = onehot.reshape((-1, n_in * t * base))
+    z = jax.lax.dot_general(x8, prepared, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)      # (B, m*L)
+    z = z.reshape(batch_shape + (m, polymul.LIMBS))
+    delta = polymul.recombine_limbs(z, axis=-1)                    # (..., m)
+
+    a = (-delta[..., :n_out]).astype(jnp.int32)
+    b = (ct_extracted.b - delta[..., n_out]).astype(jnp.int32)
+    # Variance: each nonzero digit subtracts one ks entry (n_in * t of them).
+    var = ct_extracted.current_variance + n_in * t * ks.variance
+    return LweCiphertext(a=a, b=b, current_variance=var)

@@ -1,0 +1,110 @@
+"""Sharded bootstrapped-gate execution with explicit collectives.
+
+``shard_map`` formulation of the batched gate step over a ("dp", "tp") mesh
+(SURVEY.md §2.4 comm-backend mapping):
+
+  * blind rotation — local per dp shard (no collectives; bk replicated);
+  * key switching — the (n_in*t*base) contraction rows are sharded over tp;
+    each device contracts its row slice and the partial results are reduced
+    with ``psum`` over "tp" (the keyswitch-accumulation collective the north
+    star names).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core import gates
+from ..core.params import GateBootstrappingParams
+from ..core.lwe import LweCiphertext, lwe_noiseless_trivial, lwe_add_mul
+from ..core.bootstrap import EvalKey, bootstrap_woKS
+from ..ops import polymul
+from ..ops.keyswitch import keyswitch_digits
+
+
+def _keyswitch_tp(u: LweCiphertext, ks_prepared_local: jax.Array,
+                  ks_variance, t: int, basebit: int, n_in: int,
+                  axis: str = "tp") -> LweCiphertext:
+    """Row-sharded keyswitch: local contraction over an i-slice + psum.
+
+    ks_prepared_local: (n_in_local * t * base, m * LIMBS) int8 — this
+    device's slice of the table rows, split along the input coefficient i.
+    The matching slice of the input coefficients is selected by tp index.
+    """
+    base = 1 << basebit
+    ntp = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    n_local = n_in // ntp
+    m_l = ks_prepared_local.shape[-1]
+    m = m_l // polymul.LIMBS
+    n_out = m - 1
+
+    a_local = jax.lax.dynamic_slice_in_dim(u.a, idx * n_local, n_local, axis=-1)
+    digits = keyswitch_digits(a_local, t, basebit)             # (..., n_local, t)
+    uvals = jnp.arange(base, dtype=jnp.int32)
+    onehot = (digits[..., None] == uvals).astype(jnp.int8)
+    x8 = onehot.reshape((-1, n_local * t * base))
+    z = jax.lax.dot_general(x8, ks_prepared_local, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = z.reshape(u.b.shape + (m, polymul.LIMBS))
+    delta = polymul.recombine_limbs(z, axis=-1)
+    delta = jax.lax.psum(delta, axis)                           # exact int32 psum
+
+    a = (-delta[..., :n_out]).astype(jnp.int32)
+    b = (u.b - delta[..., n_out]).astype(jnp.int32)
+    var = u.current_variance + n_in * t * ks_variance
+    return LweCiphertext(a=a, b=b, current_variance=var)
+
+
+def make_sharded_gate(mesh: Mesh, params: GateBootstrappingParams,
+                      offset_t32: int, sa: int, sb: int,
+                      rotation_impl: str = "gather"):
+    """Build a jitted sharded two-input bootstrapped gate (e.g. NAND).
+
+    Returns fn(ca, cb, ek) with the ciphertext batch sharded over dp and the
+    keyswitch contraction sharded over tp.
+    """
+    n_in = params.N * params.k
+
+    def step(ca_a, ca_b, cb_a, cb_b, bk_rows, ks_prepared, ks_var):
+        ca = LweCiphertext(a=ca_a, b=ca_b, current_variance=jnp.zeros_like(ca_b, jnp.float32))
+        cb = LweCiphertext(a=cb_a, b=cb_b, current_variance=jnp.zeros_like(cb_b, jnp.float32))
+        temp = lwe_noiseless_trivial(
+            jnp.broadcast_to(jnp.int32(offset_t32), ca.b.shape), ca.n)
+        temp = lwe_add_mul(temp, sa, ca)
+        temp = lwe_add_mul(temp, sb, cb)
+        ek_local = EvalKey(bk_rows=bk_rows, bk_variance=jnp.float32(0.0),
+                           ks_prepared=ks_prepared, ks=None)
+        u = bootstrap_woKS(jnp.int32(gates._1S8), temp, ek_local, params,
+                           rotation_impl)
+        out = _keyswitch_tp(u, ks_prepared, ks_var, params.ks.t,
+                            params.ks.basebit, n_in)
+        return out.a, out.b
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"),   # ca, cb batch-sharded
+                  P(),                                   # bk replicated
+                  P("tp"),                               # ks rows tp-sharded
+                  P()),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def gate_fn(ca_a, ca_b, cb_a, cb_b, bk_rows, ks_prepared, ks_var):
+        return smapped(ca_a, ca_b, cb_a, cb_b, bk_rows, ks_prepared, ks_var)
+
+    return gate_fn
+
+
+def make_sharded_nand(mesh: Mesh, params: GateBootstrappingParams,
+                      rotation_impl: str = "gather"):
+    from ..core.numeric import mod_switch_to_torus32_np
+    off = int(mod_switch_to_torus32_np(1, 8))
+    return make_sharded_gate(mesh, params, off, -1, -1, rotation_impl)

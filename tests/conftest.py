@@ -1,0 +1,24 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+This is the TPU analog of the reference's fake AO environment
+(``/root/reference/tests/tfhe.test.js:13-25``): same code, fake device farm.
+Sharding tests use the 8 virtual CPU devices
+(``xla_force_host_platform_device_count``, SURVEY.md §4).
+"""
+
+import os
+
+# Force-override: the ambient environment pins JAX_PLATFORMS to the TPU
+# tunnel; unit tests must run on the virtual CPU device farm.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,47 @@
+"""BASELINE configs[2]: gate set chained into an 8-bit ripple-carry adder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eoc_tfhe_tpu.core import gates, keys, bootstrap
+from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.circuits.adder import ripple_carry_add
+
+P = test_params()
+
+
+@pytest.fixture(scope="module")
+def keyset():
+    return keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(5), P)
+
+
+@pytest.fixture(scope="module")
+def ek(keyset):
+    return bootstrap.prepare_eval_key(keyset.cloud)
+
+
+def _bits(vals, nbits):
+    vals = np.asarray(vals)
+    return np.stack([(vals >> i) & 1 for i in range(nbits)]).astype(bool)
+
+
+def _from_bits(bits):
+    return sum((bits[i].astype(np.int64) << i) for i in range(bits.shape[0]))
+
+
+def test_ripple_carry_adder_8bit(keyset, ek):
+    nbits = 8
+    a_vals = np.array([13, 200, 255, 0])
+    b_vals = np.array([29, 55, 1, 0])
+    a_bits = _bits(a_vals, nbits)
+    b_bits = _bits(b_vals, nbits)
+    ca = gates.encrypt_bit(jax.random.key(21), jnp.asarray(a_bits), keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(22), jnp.asarray(b_bits), keyset.lwe_key, P)
+    s_bits, carry = ripple_carry_add(ca, cb, ek, P)
+    got_bits = gates.decrypt_bit(s_bits, keyset.lwe_key)
+    got_carry = gates.decrypt_bit(carry, keyset.lwe_key)
+    want = a_vals + b_vals
+    np.testing.assert_array_equal(_from_bits(got_bits), want & 0xFF)
+    np.testing.assert_array_equal(got_carry, (want >> nbits) & 1)

@@ -1,0 +1,75 @@
+"""tfhe_io codec: round trips and layout invariants (SURVEY.md §7 step 3)."""
+
+import io
+import numpy as np
+import jax
+import pytest
+
+from eoc_tfhe_tpu.core import keys, lwe
+from eoc_tfhe_tpu.core.params import (default_128bit_params, default_80bit_params,
+                                      test_params)
+from eoc_tfhe_tpu.io import tfhe_io
+
+P = test_params()
+
+
+def test_params_sections_roundtrip():
+    for params in (default_128bit_params(), default_80bit_params(), P):
+        f = io.BytesIO()
+        tfhe_io.write_gate_params(f, params)
+        f.seek(0)
+        back = tfhe_io.read_gate_params(f)
+        assert back == params
+
+
+def test_params_section_format():
+    f = io.BytesIO()
+    tfhe_io.write_lwe_params(f, default_128bit_params().in_out_params)
+    text = f.getvalue().decode()
+    assert text.startswith("-----BEGIN LWEPARAMS-----\n")
+    assert text.endswith("-----END LWEPARAMS-----\n")
+    assert "n: 630" in text
+    assert "alpha_max: 0.012467" in text
+
+
+def test_lwe_sample_roundtrip_and_size():
+    n = 630
+    rng = np.random.default_rng(0)
+    a = rng.integers(-(2**31), 2**31, size=n, dtype=np.int64).astype(np.int32)
+    f = io.BytesIO()
+    tfhe_io.write_lwe_sample(f, a, -12345, 1e-9)
+    blob = f.getvalue()
+    # UID(4) + 630*4 + 4 + 8 — the reference's on-the-wire LweSample size.
+    assert len(blob) == tfhe_io.lwe_sample_num_bytes(n) == 2536
+    assert blob[:4] == (42).to_bytes(4, "little")
+    f.seek(0)
+    a2, b2, v2 = tfhe_io.read_lwe_sample(f, n)
+    np.testing.assert_array_equal(a2, a)
+    assert b2 == -12345 and abs(v2 - 1e-9) < 1e-20
+
+
+def test_secret_keyset_roundtrip():
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(1), P)
+    blob = tfhe_io.export_secret_keyset(ks, P)
+    back, params2 = tfhe_io.import_secret_keyset(blob)
+    assert params2 == P
+    np.testing.assert_array_equal(np.asarray(back.lwe_key.s), np.asarray(ks.lwe_key.s))
+    np.testing.assert_array_equal(np.asarray(back.tgsw_key.key), np.asarray(ks.tgsw_key.key))
+    np.testing.assert_array_equal(np.asarray(back.cloud.bk.bk), np.asarray(ks.cloud.bk.bk))
+    np.testing.assert_array_equal(np.asarray(back.cloud.bk.ks.ks), np.asarray(ks.cloud.bk.ks.ks))
+    # Re-export must be byte-identical (stable codec).
+    assert tfhe_io.export_secret_keyset(back, params2) == blob
+
+
+def test_cloud_keyset_roundtrip():
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(2), P)
+    blob = tfhe_io.export_cloud_keyset(ks.cloud, P)
+    cloud, params2 = tfhe_io.import_cloud_keyset(blob)
+    np.testing.assert_array_equal(np.asarray(cloud.bk.bk), np.asarray(ks.cloud.bk.bk))
+
+
+def test_base64_reference_semantics():
+    # decoder stops at first non-alphabet char, tolerates missing padding
+    assert tfhe_io.b64decode("aGVsbG8") == b"hello"
+    assert tfhe_io.b64decode("aGVsbG8=====junk") == b"hello"
+    assert tfhe_io.b64encode(b"hello") == "aGVsbG8="

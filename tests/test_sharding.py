@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: the TPU analog of the reference's fake AO environment)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eoc_tfhe_tpu.core import gates, keys, bootstrap
+from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.parallel.mesh import make_mesh, shard_lwe_batch, replicate
+from eoc_tfhe_tpu.parallel.sharded import make_sharded_nand
+
+P = test_params()
+
+
+@pytest.fixture(scope="module")
+def keyset():
+    return keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(3), P)
+
+
+@pytest.fixture(scope="module")
+def ek(keyset):
+    return bootstrap.prepare_eval_key(keyset.cloud)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_sharded_nand_matches_unsharded(keyset, ek):
+    mesh = make_mesh(dp=4, tp=2)
+    a = np.tile(np.array([0, 0, 1, 1], bool), 2)
+    b = np.tile(np.array([0, 1, 0, 1], bool), 2)
+    ca = gates.encrypt_bit(jax.random.key(31), jnp.asarray(a), keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(32), jnp.asarray(b), keyset.lwe_key, P)
+
+    fn = make_sharded_nand(mesh, P)
+    out_a, out_b = fn(ca.a, ca.b, cb.a, cb.b, ek.bk_rows, ek.ks_prepared,
+                      jnp.float32(keyset.cloud.bk.ks.variance))
+    from eoc_tfhe_tpu.core.lwe import LweCiphertext
+    out = LweCiphertext(a=out_a, b=out_b,
+                        current_variance=jnp.zeros_like(out_b, jnp.float32))
+    got = gates.decrypt_bit(out, keyset.lwe_key)
+    np.testing.assert_array_equal(got, ~(a & b))
+
+    # must agree (exactly, both paths are exact integer math) with unsharded
+    ref = gates.nand(ca, cb, ek, P)
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+
+
+def test_dp_only_mesh(keyset, ek):
+    mesh = make_mesh(dp=8, tp=1)
+    a = np.zeros(8, bool); a[::2] = True
+    b = np.ones(8, bool)
+    ca = gates.encrypt_bit(jax.random.key(33), jnp.asarray(a), keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(34), jnp.asarray(b), keyset.lwe_key, P)
+    fn = make_sharded_nand(mesh, P)
+    out_a, out_b = fn(ca.a, ca.b, cb.a, cb.b, ek.bk_rows, ek.ks_prepared,
+                      jnp.float32(keyset.cloud.bk.ks.variance))
+    from eoc_tfhe_tpu.core.lwe import LweCiphertext
+    out = LweCiphertext(a=out_a, b=out_b,
+                        current_variance=jnp.zeros_like(out_b, jnp.float32))
+    np.testing.assert_array_equal(gates.decrypt_bit(out, keyset.lwe_key), ~(a & b))
+
+
+def test_auto_sharding_jit(keyset, ek):
+    """Idiomatic path: jit + NamedSharding inputs, XLA auto-partitions."""
+    mesh = make_mesh(dp=8, tp=1)
+    a = np.ones(16, bool)
+    b = np.ones(16, bool)
+    ca = gates.encrypt_bit(jax.random.key(35), jnp.asarray(a), keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(36), jnp.asarray(b), keyset.lwe_key, P)
+    ca = shard_lwe_batch(ca, mesh)
+    cb = shard_lwe_batch(cb, mesh)
+    ek_r = replicate(ek, mesh)
+    out = jax.jit(lambda x, y, e: gates.and_(x, y, e, P))(ca, cb, ek_r)
+    np.testing.assert_array_equal(gates.decrypt_bit(out, keyset.lwe_key), a & b)

@@ -21,7 +21,7 @@ from ..core.params import GateBootstrappingParams
 
 def full_adder(a: LweCiphertext, b: LweCiphertext, carry: LweCiphertext,
                ek: EvalKey, params: GateBootstrappingParams,
-               rotation_impl: str = "gather") -> tuple[LweCiphertext, LweCiphertext]:
+               rotation_impl: str = "auto") -> tuple[LweCiphertext, LweCiphertext]:
     """(sum, carry_out) — 3 bootstrapped gates + one MUX (2 woKS bootstraps).
 
     carry_out = MUX(a XOR b, carry_in, a): if a != b the carry propagates,
@@ -35,7 +35,7 @@ def full_adder(a: LweCiphertext, b: LweCiphertext, carry: LweCiphertext,
 
 def ripple_carry_add(a_bits: LweCiphertext, b_bits: LweCiphertext,
                      ek: EvalKey, params: GateBootstrappingParams,
-                     rotation_impl: str = "gather"
+                     rotation_impl: str = "auto"
                      ) -> tuple[LweCiphertext, LweCiphertext]:
     """n-bit ripple-carry addition, LSB first on the leading axis.
 

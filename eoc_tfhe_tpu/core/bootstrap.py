@@ -56,7 +56,7 @@ def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
                      params: GateBootstrappingParams,
-                     rotation_impl: str = "gather") -> jax.Array:
+                     rotation_impl: str = "auto") -> jax.Array:
     """One blind-rotate iteration (upstream ``tfhe_MuxRotate_FFT``):
 
         acc <- acc + bk_i ⊡ ((X^{bara_i} - 1) * acc)
@@ -75,7 +75,7 @@ def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
 
 def blind_rotate(acc0: jax.Array, bara: jax.Array, bk_rows: jax.Array,
                  params: GateBootstrappingParams,
-                 rotation_impl: str = "gather", unroll: int = 1) -> jax.Array:
+                 rotation_impl: str = "auto", unroll: int = 1) -> jax.Array:
     """``tfhe_blindRotate``: scan the CMux step over the n TGSW rows.
 
     Args:
@@ -95,7 +95,7 @@ def blind_rotate(acc0: jax.Array, bara: jax.Array, bk_rows: jax.Array,
 
 def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
                    params: GateBootstrappingParams,
-                   rotation_impl: str = "gather") -> LweCiphertext:
+                   rotation_impl: str = "auto") -> LweCiphertext:
     """``tfhe_bootstrap_woKS_FFT``: blind-rotate a testvector and extract.
 
     Returns an LWE sample over k*N encrypting ``mu * sign(phase in upper half)``
@@ -124,7 +124,7 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
 
 def bootstrap(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
               params: GateBootstrappingParams,
-              rotation_impl: str = "gather") -> LweCiphertext:
+              rotation_impl: str = "auto") -> LweCiphertext:
     """``tfhe_bootstrap_FFT``: woKS bootstrap followed by key switching."""
     u = bootstrap_woKS(mu, ct, ek, params, rotation_impl)
     return keyswitch_apply(u, ek.ks, t=params.ks.t, basebit=params.ks.basebit,

@@ -77,7 +77,7 @@ def constant(value: jax.Array, params: GateBootstrappingParams) -> LweCiphertext
 
 def _gate(offset_t32: int, ca: LweCiphertext, cb: LweCiphertext,
           sa: int, sb: int, ek: EvalKey, params: GateBootstrappingParams,
-          rotation_impl: str = "gather") -> LweCiphertext:
+          rotation_impl: str = "auto") -> LweCiphertext:
     """temp = (0, offset) + sa*ca + sb*cb ; bootstrap(mu=1/8, temp)."""
     temp = lwe_noiseless_trivial(
         jnp.broadcast_to(jnp.int32(offset_t32), ca.b.shape), ca.n)
@@ -86,57 +86,57 @@ def _gate(offset_t32: int, ca: LweCiphertext, cb: LweCiphertext,
     return bootstrap(jnp.int32(_1S8), temp, ek, params, rotation_impl)
 
 
-def nand(ca, cb, ek, params, rotation_impl="gather"):
+def nand(ca, cb, ek, params, rotation_impl="auto"):
     """NAND = bootstrap((0,1/8) - ca - cb)."""
     return _gate(_t32(1, 8), ca, cb, -1, -1, ek, params, rotation_impl)
 
 
-def and_(ca, cb, ek, params, rotation_impl="gather"):
+def and_(ca, cb, ek, params, rotation_impl="auto"):
     """AND = bootstrap((0,-1/8) + ca + cb)."""
     return _gate(_t32(-1, 8), ca, cb, 1, 1, ek, params, rotation_impl)
 
 
-def or_(ca, cb, ek, params, rotation_impl="gather"):
+def or_(ca, cb, ek, params, rotation_impl="auto"):
     """OR = bootstrap((0,1/8) + ca + cb)."""
     return _gate(_t32(1, 8), ca, cb, 1, 1, ek, params, rotation_impl)
 
 
-def nor(ca, cb, ek, params, rotation_impl="gather"):
+def nor(ca, cb, ek, params, rotation_impl="auto"):
     """NOR = bootstrap((0,-1/8) - ca - cb)."""
     return _gate(_t32(-1, 8), ca, cb, -1, -1, ek, params, rotation_impl)
 
 
-def xor_(ca, cb, ek, params, rotation_impl="gather"):
+def xor_(ca, cb, ek, params, rotation_impl="auto"):
     """XOR = bootstrap((0,1/4) + 2*(ca + cb))."""
     return _gate(_t32(1, 4), ca, cb, 2, 2, ek, params, rotation_impl)
 
 
-def xnor(ca, cb, ek, params, rotation_impl="gather"):
+def xnor(ca, cb, ek, params, rotation_impl="auto"):
     """XNOR = bootstrap((0,-1/4) - 2*(ca + cb))."""
     return _gate(_t32(-1, 4), ca, cb, -2, -2, ek, params, rotation_impl)
 
 
-def andny(ca, cb, ek, params, rotation_impl="gather"):
+def andny(ca, cb, ek, params, rotation_impl="auto"):
     """ANDNY = (not a) and b = bootstrap((0,-1/8) - ca + cb)."""
     return _gate(_t32(-1, 8), ca, cb, -1, 1, ek, params, rotation_impl)
 
 
-def andyn(ca, cb, ek, params, rotation_impl="gather"):
+def andyn(ca, cb, ek, params, rotation_impl="auto"):
     """ANDYN = a and (not b) = bootstrap((0,-1/8) + ca - cb)."""
     return _gate(_t32(-1, 8), ca, cb, 1, -1, ek, params, rotation_impl)
 
 
-def orny(ca, cb, ek, params, rotation_impl="gather"):
+def orny(ca, cb, ek, params, rotation_impl="auto"):
     """ORNY = (not a) or b = bootstrap((0,1/8) - ca + cb)."""
     return _gate(_t32(1, 8), ca, cb, -1, 1, ek, params, rotation_impl)
 
 
-def oryn(ca, cb, ek, params, rotation_impl="gather"):
+def oryn(ca, cb, ek, params, rotation_impl="auto"):
     """ORYN = a or (not b) = bootstrap((0,1/8) + ca - cb)."""
     return _gate(_t32(1, 8), ca, cb, 1, -1, ek, params, rotation_impl)
 
 
-def mux(c, a, b, ek, params, rotation_impl="gather"):
+def mux(c, a, b, ek, params, rotation_impl="auto"):
     """MUX(c, a, b) = c ? a : b — two woKS bootstraps + add + one keyswitch
     (upstream ``bootsMUX``)."""
     # u1 = bootstrap_woKS((0,-1/8) + c + a), u2 = bootstrap_woKS((0,-1/8) - c + b)

@@ -128,14 +128,14 @@ def small_by_torus_matmul(x_small: jax.Array, y_torus: jax.Array,
     # would wrap on the int8 cast and silently corrupt low limbs).
     ext = negacyclic_extend(y_torus)                   # (J, U, 2N) int32
     limbs = jnp.moveaxis(decompose_signed_limbs(ext), -1, -2)  # (J, U, L, 2N)
-    M = _toeplitz_from_ext(limbs.astype(jnp.int8), N)  # (J, U, L, N, N)
-    M = jnp.transpose(M, (0, 3, 1, 2, 4))              # (J, N, U, L, N)
-    M8 = M.reshape(J * N, U * LIMBS * N)
+    M = _toeplitz_from_ext(limbs.astype(jnp.int8), N)  # (J, U, L, N_r, N_c)
 
     batch_shape = x_small.shape[:-2]
-    x8 = x_small.astype(jnp.int8).reshape((-1, J * N))
-    z = jax.lax.dot_general(x8, M8, (((1,), (0,)), ((), ())),
-                            preferred_element_type=_I32)   # (B, U*L*N)
+    x8 = x_small.astype(jnp.int8).reshape((-1, J, N))
+    # Contract (J, N_r) in one dot_general — no int8 transpose (a measured
+    # ~2 ms/step on v5e when done explicitly).
+    z = jax.lax.dot_general(x8, M, (((1, 2), (0, 3)), ((), ())),
+                            preferred_element_type=_I32)   # (B, U, L, N_c)
     z = z.reshape(batch_shape + (U, LIMBS, N))
     return recombine_limbs(z, axis=-2)                 # (..., U, N)
 

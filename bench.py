@@ -28,17 +28,26 @@ def main() -> None:
     from eoc_tfhe_tpu.core.params import (default_128bit_params,
                                           default_80bit_params, test_params)
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
     B = int(os.environ.get("EOC_BENCH_BATCH", "256"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
+    form = os.environ.get("EOC_BENCH_FORM", "rows")  # rows | chunked (Pallas)
 
     t0 = time.time()
     keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
-    ek = bootstrap.prepare_eval_key(keyset.cloud)
-    jax.block_until_ready(ek.bk_rows)
-    print(f"# keygen {time.time() - t0:.1f}s on {jax.devices()[0].platform}",
+    if form == "chunked":
+        ek = bootstrap.prepare_eval_key_chunked(keyset.cloud, params)
+        jax.block_until_ready(ek.bk_chunked)
+    else:
+        ek = bootstrap.prepare_eval_key(keyset.cloud)
+        jax.block_until_ready(ek.bk_rows)
+    print(f"# keygen {time.time() - t0:.1f}s on {jax.devices()[0].platform} form={form}",
           file=sys.stderr)
 
     rng = np.random.default_rng(0)

@@ -42,6 +42,9 @@ class EvalKey:
     bk_variance: jax.Array  # () float32
     ks_prepared: jax.Array  # (n_in*t*base, (n_out+1)*LIMBS) int8
     ks: object              # KeySwitchKey (for metadata/variance)
+    # Optional chunked block-Toeplitz matmul form for the fused Pallas blind
+    # rotation ((n, Q, J*C, U*L*2C) int8; ~7.9 GB at 128-bit params).
+    bk_chunked: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -49,9 +52,20 @@ class EvalKey:
 
 
 def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
+    """Standard evaluation key (per-step Toeplitz construction, low memory)."""
     bk = cloud.bk
     return EvalKey(bk_rows=bk.bk, bk_variance=bk.bk_variance,
                    ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks)
+
+
+def prepare_eval_key_chunked(cloud: CloudKeySet, params: GateBootstrappingParams,
+                             chunk: int = 128) -> EvalKey:
+    """Evaluation key with the precomputed Pallas matmul-form bootstrap key."""
+    from ..ops import pallas_blindrot
+    ek = prepare_eval_key(cloud)
+    ek.bk_chunked = pallas_blindrot.prepare_chunked_bk(ek.bk_rows, params,
+                                                       chunk=chunk)
+    return ek
 
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
@@ -113,7 +127,18 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
-    acc = blind_rotate(acc0, bara, ek.bk_rows, params, rotation_impl)
+    if ek.bk_chunked is not None:
+        from ..ops import pallas_blindrot
+        batch_shape = ct.b.shape
+        B = int(np.prod(batch_shape)) if batch_shape else 1
+        acc0_f = acc0.reshape((B, k + 1, N))
+        bara_f = jnp.moveaxis(bara.reshape((B, params.n)), -1, 0)
+        C = ek.bk_chunked.shape[2] // params.tgsw_params.kpl
+        acc = pallas_blindrot.blind_rotate_pallas(acc0_f, bara_f, ek.bk_chunked,
+                                                  params, chunk=C)
+        acc = acc.reshape(batch_shape + (k + 1, N))
+    else:
+        acc = blind_rotate(acc0, bara, ek.bk_rows, params, rotation_impl)
 
     tl_ct = TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32))
     out = tlwe_extract_lwe_sample(tl_ct)

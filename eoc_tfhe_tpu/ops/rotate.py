@@ -97,13 +97,35 @@ def mul_by_xai_onehot(p: jax.Array, a: jax.Array, chunk: int = 128) -> jax.Array
     return out.reshape(p.shape).astype(jnp.int32)
 
 
+def mul_by_xai_barrel(p: jax.Array, a: jax.Array) -> jax.Array:
+    """Barrel-shifter rotation: log2(2N) conditional uniform rolls.
+
+    out[..., c] = ext[..., (c - a) mod 2N] with ext = [p, -p]. Each stage k
+    applies a *uniform* roll by 2^k (cheap vectorized data movement) selected
+    per sample by bit k of a — no gathers, no one-hot matmuls, O(N log N)
+    elementwise work total.
+    """
+    N = p.shape[-1]
+    ext = jnp.concatenate([p, (-p).astype(p.dtype)], axis=-1)   # (..., 2N)
+    a = jnp.broadcast_to(jnp.asarray(a, jnp.int32), p.shape[:-1])
+    nbits = (2 * N - 1).bit_length()
+    for k in range(nbits):
+        rolled = jnp.roll(ext, 1 << k, axis=-1)
+        take = ((a >> k) & 1).astype(bool)[..., None]
+        ext = jnp.where(take, rolled, ext)
+    return ext[..., :N]
+
+
 def mul_by_xai(p: jax.Array, a: jax.Array, impl: str = "auto") -> jax.Array:
-    """Dispatch: "auto" picks one-hot matmuls on TPU (measured 3.8x faster
-    than take_along_axis there) and gather elsewhere."""
+    """Dispatch: "auto" picks the barrel shifter on TPU (gathers are slow
+    there; one-hot matmuls measured 3.8x faster than gather, barrel faster
+    still) and gather elsewhere."""
     if impl == "auto":
-        impl = "onehot" if jax.default_backend() == "tpu" else "gather"
+        impl = "barrel" if jax.default_backend() == "tpu" else "gather"
     if impl == "gather":
         return mul_by_xai_gather(p, a)
     if impl == "onehot":
         return mul_by_xai_onehot(p, a)
+    if impl == "barrel":
+        return mul_by_xai_barrel(p, a)
     raise ValueError(f"unknown rotation impl {impl!r}")

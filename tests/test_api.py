@@ -7,9 +7,9 @@ import pytest
 
 from eoc_tfhe_tpu.api.tfhe import Tfhe, TfheSession
 from eoc_tfhe_tpu.api.jwt import validate_jwt
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 
-P = test_params()
+P = make_test_params()
 
 
 @pytest.fixture(scope="module")

@@ -6,11 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from eoc_tfhe_tpu.core import lwe, keys, bootstrap, gates
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 from eoc_tfhe_tpu.core.numeric import mod_switch_to_torus32_np
 from eoc_tfhe_tpu.ops.keyswitch import keyswitch_apply, prepare_keyswitch_matmul
 
-P = test_params()
+P = make_test_params()
 
 
 @pytest.fixture(scope="module")

@@ -6,10 +6,10 @@ import jax.numpy as jnp
 import pytest
 
 from eoc_tfhe_tpu.core import gates, keys, bootstrap
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 from eoc_tfhe_tpu.circuits.adder import ripple_carry_add
 
-P = test_params()
+P = make_test_params()
 
 
 @pytest.fixture(scope="module")

@@ -7,10 +7,10 @@ import pytest
 
 from eoc_tfhe_tpu.core import keys, lwe
 from eoc_tfhe_tpu.core.params import (default_128bit_params, default_80bit_params,
-                                      test_params)
+                                      test_params as make_test_params)
 from eoc_tfhe_tpu.io import tfhe_io
 
-P = test_params()
+P = make_test_params()
 
 
 def test_params_sections_roundtrip():

@@ -74,12 +74,14 @@ def test_mul_by_xai_both_impls():
     a = rng.integers(0, 2 * N, size=(B,)).astype(np.int32)
     got_g = np.asarray(rotate.mul_by_xai_gather(jnp.asarray(p), jnp.asarray(a)))
     got_o = np.asarray(rotate.mul_by_xai_onehot(jnp.asarray(p), jnp.asarray(a), chunk=64))
+    got_b = np.asarray(rotate.mul_by_xai_barrel(jnp.asarray(p), jnp.asarray(a)))
     for b in range(B):
         delta = np.zeros(N, np.int64)
         delta[int(a[b]) % (2 * N) % N] = 1 if (int(a[b]) % (2 * N)) < N else -1
         want = negacyclic_ref(delta.astype(np.int32), p[b])
         np.testing.assert_array_equal(got_g[b], want)
         np.testing.assert_array_equal(got_o[b], want)
+        np.testing.assert_array_equal(got_b[b], want)
 
 
 def test_mul_by_xai_identity_and_sign():

@@ -6,7 +6,7 @@ import json
 import numpy as np
 
 from eoc_tfhe_tpu.process import Process
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 
 ENV = json.dumps({"Process": {"Id": "AOS", "Owner": "FOOBAR", "Module": "M1"}})
 
@@ -24,7 +24,7 @@ def out(resp):
 
 
 def test_process_full_flow():
-    p = Process(params=test_params())
+    p = Process(params=make_test_params())
     assert "TFHE Library" in out(p.handle(msg("Info"), ENV))
     key = out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
     assert len(key) > 100
@@ -41,7 +41,7 @@ def test_process_full_flow():
 
 
 def test_process_string_roundtrip():
-    p = Process(params=test_params())
+    p = Process(params=make_test_params())
     out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
     ct = out(p.handle(msg("EncryptASCIIString", data="Hello TFHE!"), ENV))
     got = out(p.handle(msg("DecryptASCIIString", data=ct, Token="h.p", Length=11), ENV))
@@ -49,7 +49,7 @@ def test_process_string_roundtrip():
 
 
 def test_process_error_surface():
-    p = Process(params=test_params())
+    p = Process(params=make_test_params())
     r = json.loads(p.handle(msg("NoSuchAction"), ENV))
     assert "no handler" in r["Error"]
     out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
@@ -58,13 +58,13 @@ def test_process_error_surface():
 
 
 def test_process_replay_determinism():
-    p = Process(params=test_params())
+    p = Process(params=make_test_params())
     out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
     ct = out(p.handle(msg("EncryptInteger", Value=123), ENV))
     # Replay the log on a fresh process: same key material, same decryption.
     p2 = p.replay()
     assert out(p2.handle(msg("DecryptInteger", data=ct, Token="h.p"), ENV)) == "123"
     # And the exported key blobs are identical (bit-exact determinism).
-    k1 = out(Process.from_log(p.log[:1], params=test_params())
+    k1 = out(Process.from_log(p.log[:1], params=make_test_params())
              .handle(msg("GenerateSecretKey", Token="h.p"), ENV))
     assert isinstance(k1, str)

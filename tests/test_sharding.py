@@ -7,11 +7,11 @@ import jax.numpy as jnp
 import pytest
 
 from eoc_tfhe_tpu.core import gates, keys, bootstrap
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 from eoc_tfhe_tpu.parallel.mesh import make_mesh, shard_lwe_batch, replicate
 from eoc_tfhe_tpu.parallel.sharded import make_sharded_nand
 
-P = test_params()
+P = make_test_params()
 
 
 @pytest.fixture(scope="module")

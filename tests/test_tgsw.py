@@ -5,9 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from eoc_tfhe_tpu.core import tlwe, tgsw
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 
-P = test_params()  # N=64, k=1, n=16, l=2, Bgbit=8
+P = make_test_params()  # N=64, k=1, n=16, l=2, Bgbit=8
 TG = P.tgsw_params
 TL = TG.tlwe_params
 

@@ -40,6 +40,7 @@ import numpy as np
 
 from ..core.params import (GateBootstrappingParams, KeySwitchParams, LweParams,
                            TGswParams, TLweParams)
+from .. import native
 
 # Verified: import_lweSample_fromStream checks 42.
 LWE_SAMPLE_UID = 42
@@ -213,6 +214,77 @@ def read_tgsw_key(f, k: int, N: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Bulk record arrays (native C++ codec when available, vectorized numpy
+# fallback). The keyswitch key alone is n_in*t*base = 32,768 records at the
+# default 128-bit parameters; record-at-a-time Python loops are the
+# reference's one-sample-at-a-time pattern and are not acceptable here.
+# ---------------------------------------------------------------------------
+
+def pack_lwe_samples(a: np.ndarray, b: np.ndarray, var: np.ndarray) -> bytes:
+    """(B, n), (B,), (B,) -> B concatenated UID-42 records."""
+    out = native.pack_lwe_array(a, b, var)
+    if out is not None:
+        return out
+    B, n = a.shape
+    rec = np.empty((B, lwe_sample_num_bytes(n)), np.uint8)
+    rec[:, :4] = np.frombuffer(_I32.pack(LWE_SAMPLE_UID), np.uint8)
+    rec[:, 4:4 + 4 * n] = np.ascontiguousarray(a, "<i4").view(np.uint8).reshape(B, 4 * n)
+    rec[:, 4 + 4 * n:8 + 4 * n] = (
+        np.ascontiguousarray(b, "<i4").view(np.uint8).reshape(B, 4))
+    rec[:, 8 + 4 * n:] = (
+        np.ascontiguousarray(var, "<f8").view(np.uint8).reshape(B, 8))
+    return rec.tobytes()
+
+
+def unpack_lwe_samples(data: bytes, B: int, n: int):
+    """Inverse of :func:`pack_lwe_samples` -> (a (B,n), b (B,), var (B,))."""
+    out = native.unpack_lwe_array(data, B, n)
+    if out is not None:
+        return out
+    rec = np.frombuffer(data, np.uint8)[: B * lwe_sample_num_bytes(n)]
+    rec = rec.reshape(B, lwe_sample_num_bytes(n))
+    uids = rec[:, :4].copy().view("<i4").ravel()
+    if (uids != LWE_SAMPLE_UID).any():
+        bad = int(np.argmax(uids != LWE_SAMPLE_UID))
+        raise ValueError(f"bad LweSample UID at record {bad}")
+    a = rec[:, 4:4 + 4 * n].copy().view("<i4").reshape(B, n)
+    b = rec[:, 4 + 4 * n:8 + 4 * n].copy().view("<i4").ravel()
+    var = rec[:, 8 + 4 * n:].copy().view("<f8").ravel()
+    return a, b, var
+
+
+def pack_tlwe_samples(polys: np.ndarray, var: np.ndarray) -> bytes:
+    """(B, k+1, N), (B,) -> B concatenated UID-169 records."""
+    out = native.pack_tlwe_array(polys, var)
+    if out is not None:
+        return out
+    B = polys.shape[0]
+    m = polys.size // B
+    rec = np.empty((B, 4 + 4 * m + 8), np.uint8)
+    rec[:, :4] = np.frombuffer(_I32.pack(TLWE_SAMPLE_UID), np.uint8)
+    rec[:, 4:4 + 4 * m] = (
+        np.ascontiguousarray(polys, "<i4").view(np.uint8).reshape(B, 4 * m))
+    rec[:, 4 + 4 * m:] = (
+        np.ascontiguousarray(var, "<f8").view(np.uint8).reshape(B, 8))
+    return rec.tobytes()
+
+
+def unpack_tlwe_samples(data: bytes, B: int, m: int):
+    out = native.unpack_tlwe_array(data, B, m)
+    if out is not None:
+        return out
+    rec = np.frombuffer(data, np.uint8)[: B * (4 + 4 * m + 8)]
+    rec = rec.reshape(B, 4 + 4 * m + 8)
+    uids = rec[:, :4].copy().view("<i4").ravel()
+    if (uids != TLWE_SAMPLE_UID).any():
+        bad = int(np.argmax(uids != TLWE_SAMPLE_UID))
+        raise ValueError(f"bad TLweSample UID at record {bad}")
+    polys = rec[:, 4:4 + 4 * m].copy().view("<i4").reshape(B, m)
+    var = rec[:, 4 + 4 * m:].copy().view("<f8").ravel()
+    return polys, var
+
+
+# ---------------------------------------------------------------------------
 # Composite: key-switching key, bootstrapping key, keysets.
 # ---------------------------------------------------------------------------
 
@@ -221,22 +293,21 @@ def write_keyswitch_key(f, ks_packed: np.ndarray, variance: float,
     """LWEKSPARAMS section + the n_in*t*base LWE samples in index order."""
     n_in, t, base, m = ks_packed.shape
     write_section(f, "LWEKSPARAMS", {"n": n_in, "t": t, "basebit": basebit})
-    flat = ks_packed.reshape(-1, m)
-    for row in flat:
-        write_lwe_sample(f, row[:-1], int(row[-1]), variance)
+    flat = np.ascontiguousarray(ks_packed.reshape(-1, m))
+    var = np.full(flat.shape[0], float(variance))
+    f.write(pack_lwe_samples(flat[:, :-1], flat[:, -1], var))
 
 
 def read_keyswitch_key(f, n_out: int):
     _, pr = read_section(f, "LWEKSPARAMS")
     n_in, t, basebit = int(pr["n"]), int(pr["t"]), int(pr["basebit"])
     base = 1 << basebit
-    rows = np.zeros((n_in * t * base, n_out + 1), np.int32)
-    var = 0.0
-    for i in range(rows.shape[0]):
-        a, b, var = read_lwe_sample(f, n_out)
-        rows[i, :-1] = a
-        rows[i, -1] = b
-    return rows.reshape(n_in, t, base, n_out + 1), var, basebit
+    B = n_in * t * base
+    a, b, var = unpack_lwe_samples(f.read(B * lwe_sample_num_bytes(n_out)),
+                                   B, n_out)
+    rows = np.concatenate([a, b[:, None]], axis=1).astype(np.int32)
+    return (rows.reshape(n_in, t, base, n_out + 1),
+            float(var[-1]) if B else 0.0, basebit)
 
 
 def write_bootstrapping_key(f, bk_rows: np.ndarray, bk_variance: float,
@@ -244,20 +315,19 @@ def write_bootstrapping_key(f, bk_rows: np.ndarray, bk_variance: float,
                             basebit: int) -> None:
     """n TGSW samples (each kpl TLWE samples) + the keyswitch key."""
     n, kpl, kp1, N = bk_rows.shape
-    for i in range(n):
-        for r in range(kpl):
-            write_tlwe_sample(f, bk_rows[i, r], bk_variance)
+    flat = np.ascontiguousarray(bk_rows.reshape(n * kpl, kp1, N))
+    var = np.full(n * kpl, float(bk_variance))
+    f.write(pack_tlwe_samples(flat, var))
     write_keyswitch_key(f, ks_packed, ks_variance, basebit)
 
 
 def read_bootstrapping_key(f, n: int, params: GateBootstrappingParams):
     tg = params.tgsw_params
     kpl, k, N = tg.kpl, tg.tlwe_params.k, tg.tlwe_params.N
-    bk = np.zeros((n, kpl, k + 1, N), np.int32)
-    bk_var = 0.0
-    for i in range(n):
-        for r in range(kpl):
-            bk[i, r], bk_var = read_tlwe_sample(f, k, N)
+    B, m = n * kpl, (k + 1) * N
+    polys, var = unpack_tlwe_samples(f.read(B * (4 + 4 * m + 8)), B, m)
+    bk = polys.reshape(n, kpl, k + 1, N)
+    bk_var = float(var[-1]) if B else 0.0
     ks, ks_var, _ = read_keyswitch_key(f, params.n)
     return bk, bk_var, ks, ks_var
 
@@ -332,12 +402,18 @@ def import_cloud_keyset(data: bytes):
 # ---------------------------------------------------------------------------
 
 def b64encode(data: bytes) -> str:
+    out = native.b64encode(data)
+    if out is not None:
+        return out
     return base64.b64encode(data).decode()
 
 
 def b64decode(s: str) -> bytes:
     # The reference's decoder stops at the first non-alphabet char and
     # tolerates missing padding (eoc-tfhe-run.cpp:70-90); mirror that.
+    out = native.b64decode(s)
+    if out is not None:
+        return out
     alphabet = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
     clean = []
     for ch in s:

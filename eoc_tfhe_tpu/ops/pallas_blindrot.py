@@ -64,25 +64,20 @@ def prepare_chunked_bk(bk_rows: jax.Array, params: GateBootstrappingParams,
     return jax.lax.map(per_step, bk_rows, batch_size=8)
 
 
-def _barrel_rotate_ext(acc, amounts, N):
-    """(B, U, N) x (B,) -> X^amounts * acc via log2(2N) conditional rolls."""
-    ext = jnp.concatenate([acc, -acc], axis=-1)               # (B, U, 2N)
-    nbits = (2 * N - 1).bit_length()
+def _barrel_rotate_2d(ext, bits, nbits):
+    """(B, 2N) x (B, nbits) -> negacyclic-extended rotate, pure 2D ops.
+
+    ``ext`` is [p, -p] along the lane axis; rotating it left-pads with the
+    negated wraparound, so ``ext[:, :N]`` after the rolls is X^amt * p.
+    ``bits`` holds the base-2 digits of the per-row rotation amount; the
+    select is arithmetic (int32 lerp) because Mosaic rejects rank-changing
+    bool broadcasts.
+    """
     for k in range(nbits):
         rolled = jnp.roll(ext, 1 << k, axis=-1)
-        take = ((amounts >> k) & 1).astype(jnp.bool_)[:, None, None]
-        ext = jnp.where(take, rolled, ext)
-    return ext[..., :N]
-
-
-def _decompose_digits(d, params: GateBootstrappingParams):
-    """(B, U, N) int32 -> (B, U*l, N) int32 digits in [-Bg/2, Bg/2) (bloc-major)."""
-    tg = params.tgsw_params
-    u = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
-    digs = [((u >> jnp.uint32(32 - (p + 1) * tg.Bgbit)) & jnp.uint32(tg.maskMod)
-             ).astype(jnp.int32) - jnp.int32(tg.halfBg) for p in range(tg.l)]
-    stacked = jnp.stack(digs, axis=2)                         # (B, U, l, N)
-    return stacked.reshape(d.shape[0], -1, d.shape[-1])
+        take = bits[:, k:k + 1]                               # (B, 1) int32
+        ext = ext + take * (rolled - ext)
+    return ext
 
 
 def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
@@ -96,9 +91,11 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
       bara: (n, B) int32 rotation amounts in [0, 2N).
       bk_chunked: (n, Q, J*C, U*L*2C) int8 from :func:`prepare_chunked_bk`.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     B, U, N = acc0.shape
+    if interpret is None:
+        # Mosaic needs lane-aligned tiles: chunk == 128 and >= 8 sublanes.
+        mosaic_ok = (chunk_size_for(N, chunk) % 128 == 0 and B % 8 == 0)
+        interpret = jax.default_backend() != "tpu" or not mosaic_ok
     n, Q, JC, ULW = bk_chunked.shape
     C = chunk_size_for(N, chunk)
     L = polymul.LIMBS
@@ -108,9 +105,12 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
     tg = params.tgsw_params
     assert J * C * tg.halfBg * 128 < 2**31, "int32 matmul accumulation overflow"
 
-    def kernel(bara_ref, acc0_ref, bk_ref, out_ref, acc, digits, out2n):
+    nbits = (2 * N - 1).bit_length()
+
+    def kernel(bits_ref, acc0_ref, bk_ref, out_ref, acc, digits, out2n):
         i = pl.program_id(0)
         q = pl.program_id(1)
+        tgl = tg.l
 
         @pl.when((i == 0) & (q == 0))
         def _():
@@ -118,15 +118,23 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
 
         @pl.when(q == 0)
         def _():
-            amounts = bara_ref[0, :]                          # (B,)
-            rot = _barrel_rotate_ext(acc[:], amounts, N)
-            d = rot - acc[:]
-            dg = _decompose_digits(d, params)                 # (B, J, N)
-            dg = dg.reshape(B, J, P, C)
-            digits[:] = jnp.transpose(dg, (0, 2, 1, 3)).astype(jnp.int8)
+            bits = bits_ref[0]                                # (B, nbits) int32
+            for u in range(U):
+                a_u = acc[:, u, :]                            # (B, N)
+                ext = jnp.concatenate([a_u, -a_u], axis=-1)   # (B, 2N)
+                d = _barrel_rotate_2d(ext, bits, nbits)[:, :N] - a_u
+                du = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
+                for l in range(tgl):
+                    dig = ((du >> jnp.uint32(32 - (l + 1) * tg.Bgbit))
+                           & jnp.uint32(tg.maskMod)
+                           ).astype(jnp.int32) - jnp.int32(tg.halfBg)
+                    j = u * tgl + l
+                    # (B, N) -> (B*P, C): row (b*P + p) is chunk p of poly b.
+                    digits[:, j * C:(j + 1) * C] = (
+                        dig.reshape(B * P, C).astype(jnp.int8))
             out2n[:] = jnp.zeros_like(out2n)
 
-        x2 = digits[:].reshape(B * P, J * C)
+        x2 = digits[:]                                        # (B*P, J*C)
         Tq = bk_ref[0, 0]                                     # (J*C, U*L*2C)
         for u in range(U):
             head_acc = None
@@ -152,13 +160,17 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
         def _():
             out_ref[:] = acc[:]
 
+    bits = ((bara[:, :, None] >> jnp.arange(nbits, dtype=jnp.int32))
+            & jnp.int32(1))                                   # (n, B, nbits)
+
     flops = 2 * n * Q * B * P * (J * C) * (U * L * 2 * C)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, U, N), jnp.int32),
         grid=(n, Q),
         in_specs=[
-            pl.BlockSpec((1, B), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, nbits), lambda i, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, U, N), lambda i, q: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, JC, ULW), lambda i, q: (i, q, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -167,7 +179,7 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((B, U, N), jnp.int32),        # acc
-            pltpu.VMEM((B, P, J, C), jnp.int8),      # digits (p-major rows)
+            pltpu.VMEM((B * P, J * C), jnp.int8),    # digits (rows = (b, p))
             pltpu.VMEM((B, U, 2 * N), jnp.int32),    # overlap-add buffer
         ],
         compiler_params=pltpu.CompilerParams(
@@ -176,4 +188,4 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bk_chunked.size,
                                       transcendentals=0),
         interpret=interpret,
-    )(bara, acc0, bk_chunked)
+    )(bits, acc0, bk_chunked)

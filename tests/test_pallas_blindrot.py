@@ -87,3 +87,27 @@ def test_pallas_bootstrap_end_to_end(keyset):
     want = signs * gates.MU_BOOL
     err = ((phases - want + 2**31) % 2**32) - 2**31
     assert np.abs(err).max() < 2**27
+
+
+def test_pallas_blindrot_mosaic_compile():
+    """Real Mosaic compile path (TPU-legal shapes: N=1024, C=128, B=8).
+
+    Runs the compiled kernel (interpret=False) when a TPU is attached and
+    checks bit-exactness vs the XLA scan path; skipped elsewhere.
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU for the Mosaic compile path")
+    Pm = make_test_params(N=1024, n=6, l=2, Bgbit=8)
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(12), Pm)
+    B, N, n = 8, Pm.N, Pm.n
+    rng = np.random.default_rng(3)
+    acc0 = rng.integers(-(2**31), 2**31, (B, Pm.k + 1, N),
+                        dtype=np.int64).astype(np.int32)
+    bara = rng.integers(0, 2 * N, (n, B)).astype(np.int32)
+    want = np.asarray(bootstrap.blind_rotate(
+        jnp.asarray(acc0), jnp.asarray(bara.T), ks.cloud.bk.bk, Pm,
+        rotation_impl="gather"))
+    bk_ch = pallas_blindrot.prepare_chunked_bk(ks.cloud.bk.bk, Pm)
+    got = np.asarray(pallas_blindrot.blind_rotate_pallas(
+        jnp.asarray(acc0), jnp.asarray(bara), bk_ch, Pm, interpret=False))
+    np.testing.assert_array_equal(got, want)

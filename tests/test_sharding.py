@@ -13,6 +13,11 @@ from eoc_tfhe_tpu.parallel.sharded import make_sharded_nand
 
 P = make_test_params()
 
+# Under EOC_TESTS_TPU=1 the suite runs on the single attached TPU chip;
+# these tests need the 8-device virtual CPU farm.
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs >= 8 devices (virtual CPU farm)")
+
 
 @pytest.fixture(scope="module")
 def keyset():

@@ -37,13 +37,13 @@ def main() -> None:
               "test": test_params}[which]()
     B = int(os.environ.get("EOC_BENCH_BATCH", "256"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
-    form = os.environ.get("EOC_BENCH_FORM", "rows")  # rows | chunked (Pallas)
+    form = os.environ.get("EOC_BENCH_FORM", "fused")  # fused (Pallas) | rows
 
     t0 = time.time()
     keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
-    if form == "chunked":
-        ek = bootstrap.prepare_eval_key_chunked(keyset.cloud, params)
-        jax.block_until_ready(ek.bk_chunked)
+    if form in ("fused", "chunked"):
+        ek = bootstrap.prepare_eval_key_fused(keyset.cloud)
+        jax.block_until_ready(ek.bk_compact)
     else:
         ek = bootstrap.prepare_eval_key(keyset.cloud)
         jax.block_until_ready(ek.bk_rows)

@@ -42,9 +42,10 @@ class EvalKey:
     bk_variance: jax.Array  # () float32
     ks_prepared: jax.Array  # (n_in*t*base, (n_out+1)*LIMBS) int8
     ks: object              # KeySwitchKey (for metadata/variance)
-    # Optional chunked block-Toeplitz matmul form for the fused Pallas blind
-    # rotation ((n, Q, J*C, U*L*2C) int8; ~7.9 GB at 128-bit params).
-    bk_chunked: jax.Array | None = None
+    # Optional compact limb form for the fused Pallas blind rotation
+    # ((n, (k+1)*LIMBS*kpl, N) int8, ~31 MB at 128-bit params); Toeplitz
+    # blocks are built inside the kernel.
+    bk_compact: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -58,14 +59,21 @@ def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
                    ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks)
 
 
-def prepare_eval_key_chunked(cloud: CloudKeySet, params: GateBootstrappingParams,
-                             chunk: int = 128) -> EvalKey:
-    """Evaluation key with the precomputed Pallas matmul-form bootstrap key."""
+def prepare_eval_key_fused(cloud: CloudKeySet) -> EvalKey:
+    """Evaluation key with the compact limb key for the fused Pallas kernel."""
     from ..ops import pallas_blindrot
     ek = prepare_eval_key(cloud)
-    ek.bk_chunked = pallas_blindrot.prepare_chunked_bk(ek.bk_rows, params,
-                                                       chunk=chunk)
+    ek.bk_compact = pallas_blindrot.prepare_compact_bk(ek.bk_rows)
     return ek
+
+
+# Back-compat alias (the chunk is now a kernel-call parameter, not baked
+# into the key).
+def prepare_eval_key_chunked(cloud: CloudKeySet,
+                             params: GateBootstrappingParams | None = None,
+                             chunk: int = 128) -> EvalKey:
+    del params, chunk
+    return prepare_eval_key_fused(cloud)
 
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
@@ -127,15 +135,14 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
-    if ek.bk_chunked is not None:
+    if ek.bk_compact is not None:
         from ..ops import pallas_blindrot
         batch_shape = ct.b.shape
         B = int(np.prod(batch_shape)) if batch_shape else 1
         acc0_f = acc0.reshape((B, k + 1, N))
         bara_f = jnp.moveaxis(bara.reshape((B, params.n)), -1, 0)
-        C = ek.bk_chunked.shape[2] // params.tgsw_params.kpl
-        acc = pallas_blindrot.blind_rotate_pallas(acc0_f, bara_f, ek.bk_chunked,
-                                                  params, chunk=C)
+        acc = pallas_blindrot.blind_rotate_pallas(acc0_f, bara_f, ek.bk_compact,
+                                                  params)
         acc = acc.reshape(batch_shape + (k + 1, N))
     else:
         acc = blind_rotate(acc0, bara, ek.bk_rows, params, rotation_impl)

@@ -7,17 +7,21 @@ loop #1, upstream ``tfhe_blindRotate_FFT`` — SURVEY.md §3.5).
 
 Design (see ops/polymul.py for why arithmetic is exact integer):
 
-  * The bootstrapping key is precomputed into **chunked block-Toeplitz matmul
-    form** (:func:`prepare_chunked_bk`): for each step i, chunk q, the
-    (J*C, U*L*2C) int8 matrix whose (j*C + r, (u*L + l)*2C + c) entry is
-    limb l of bk[i, j, u][q*C + (c - r)] for 0 <= c - r < C, else 0.
-    ~7.9 GB at the default 128-bit parameters; streamed per (i, q) grid step
-    (1.5 MB blocks, double-buffered by the Pallas pipeline).
+  * The bootstrapping key is stored **compact**: per step i a
+    ((k+1)*LIMBS*kpl, N) int8 matrix of signed byte limbs
+    (:func:`prepare_compact_bk`, ~31 MB total at the 128-bit set — a
+    materialized block-Toeplitz form would be 2C x larger, ~8 GB, and
+    HBM-bandwidth bound).
   * Grid (n, Q), sequential. Per step i at q=0: barrel-shifter rotation
-    (log2(2N) uniform rolls + per-row selects — no gathers), gadget
-    decomposition to int8 digits. Every q: U*L MXU int8 matmuls
-    (B*P, J*C) @ (J*C, 2C), folded (overlap-add with exact limb shifts) into
-    a 2N-wide int32 buffer. At q=Q-1: negacyclic fold into acc.
+    (log2(2N) uniform rolls + per-row arithmetic selects — no gathers),
+    gadget decomposition to int8 digits laid out as a (B*P, kpl*C) matrix.
+  * Every q: for each (output poly u, limb l), the (kpl*C, 2C) Toeplitz
+    block of the key chunk is built IN KERNEL from C bytes per row group:
+    broadcast each padded chunk row C times, then log2(C) conditional lane
+    rolls keyed on the row index (VPU cost ~1/3 of the matmul). The MXU
+    int8 matmul (B*P, kpl*C) @ (kpl*C, 2C) then lands in a 2N-wide int32
+    overlap-add buffer with exact limb shifts.
+  * At q=Q-1: negacyclic fold (head - wrapped tail) into the accumulator.
   * Everything exact mod 2^32 (int8 x int8 -> int32; accumulation bounds
     asserted at trace time).
 """
@@ -40,28 +44,27 @@ def chunk_size_for(N: int, chunk: int = DEFAULT_CHUNK) -> int:
     return min(chunk, N)
 
 
-def prepare_chunked_bk(bk_rows: jax.Array, params: GateBootstrappingParams,
-                       chunk: int = DEFAULT_CHUNK) -> jax.Array:
-    """(n, kpl, k+1, N) int32 -> (n, Q, J*C, U*L*2C) int8 block-Toeplitz form."""
+def _padded_rows(J: int) -> int:
+    """Row-group stride: pad kpl to a sublane multiple so each (u, limb)
+    group starts 8-aligned (Mosaic concat/slice requirement)."""
+    return ((J + 7) // 8) * 8
+
+
+def prepare_compact_bk(bk_rows: jax.Array) -> jax.Array:
+    """(n, kpl, k+1, N) int32 -> (n, (k+1)*LIMBS*Jp, N) int8 limb rows.
+
+    Row order is (u, limb, j): the kernel slices one (kpl, N) group per
+    (output poly, limb) pair; groups are padded to Jp = 8-aligned rows
+    (zeros). Limbs are signed base-256 with wrapped top limb (exact mod
+    2^32, ``polymul.decompose_signed_limbs``).
+    """
     n, J, U, N = bk_rows.shape
-    C = chunk_size_for(N, chunk)
-    Q = N // C
     L = polymul.LIMBS
-
-    def per_step(rows):
-        limbs = polymul.decompose_signed_limbs(rows)          # (J, U, N, L)
-        limbs = jnp.moveaxis(limbs, -1, -2)                   # (J, U, L, N)
-        chunks = limbs.reshape(J, U, L, Q, C)
-        ypad = jnp.concatenate([chunks, jnp.zeros_like(chunks)], axis=-1)  # (..., 2C)
-        # Tile trick: W[r, m] = ypad[(m - r) mod 2C] for r in [0, C).
-        tiled = jnp.broadcast_to(ypad[..., None, :], ypad.shape[:-1] + (C, 2 * C))
-        flat = tiled.reshape(ypad.shape[:-1] + (C * 2 * C,))
-        W = flat[..., : C * (2 * C - 1)].reshape(ypad.shape[:-1] + (C, 2 * C - 1))
-        W = jnp.pad(W, [(0, 0)] * (W.ndim - 1) + [(0, 1)])    # (J,U,L,Q,C,2C)
-        W = jnp.transpose(W, (3, 0, 4, 1, 2, 5))              # (Q, J, C, U, L, 2C)
-        return W.reshape(Q, J * C, U * L * 2 * C).astype(jnp.int8)
-
-    return jax.lax.map(per_step, bk_rows, batch_size=8)
+    Jp = _padded_rows(J)
+    limbs = polymul.decompose_signed_limbs(bk_rows)       # (n, J, U, N, L)
+    x = jnp.transpose(limbs, (0, 2, 4, 1, 3))             # (n, U, L, J, N)
+    x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, Jp - J), (0, 0)])
+    return x.reshape(n, U * L * Jp, N).astype(jnp.int8)
 
 
 def _barrel_rotate_2d(ext, bits, nbits):
@@ -80,7 +83,7 @@ def _barrel_rotate_2d(ext, bits, nbits):
     return ext
 
 
-def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
+def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_compact: jax.Array,
                         params: GateBootstrappingParams,
                         chunk: int = DEFAULT_CHUNK,
                         interpret: bool | None = None) -> jax.Array:
@@ -89,23 +92,26 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
     Args:
       acc0: (B, k+1, N) int32 initial accumulator (trivial testvector TLWE).
       bara: (n, B) int32 rotation amounts in [0, 2N).
-      bk_chunked: (n, Q, J*C, U*L*2C) int8 from :func:`prepare_chunked_bk`.
+      bk_compact: (n, (k+1)*LIMBS*kpl, N) int8 from :func:`prepare_compact_bk`.
     """
     B, U, N = acc0.shape
-    if interpret is None:
-        # Mosaic needs lane-aligned tiles: chunk == 128 and >= 8 sublanes.
-        mosaic_ok = (chunk_size_for(N, chunk) % 128 == 0 and B % 8 == 0)
-        interpret = jax.default_backend() != "tpu" or not mosaic_ok
-    n, Q, JC, ULW = bk_chunked.shape
     C = chunk_size_for(N, chunk)
+    if interpret is None:
+        # Mosaic needs lane-aligned tiles: C a multiple of 128 (digit-matrix
+        # lane splits) and >= 8 sublanes.
+        mosaic_ok = (C % 128 == 0 and B % 8 == 0)
+        interpret = jax.default_backend() != "tpu" or not mosaic_ok
+    n, ULJ, N2 = bk_compact.shape
     L = polymul.LIMBS
-    J = JC // C
-    P = N // C
-    assert Q == N // C and ULW == U * L * 2 * C, (bk_chunked.shape, (U, L, C))
     tg = params.tgsw_params
+    J = tg.kpl
+    Jp = _padded_rows(J)
+    P = Q = N // C
+    assert ULJ == U * L * Jp and N2 == N, (bk_compact.shape, (U, L, Jp, N))
     assert J * C * tg.halfBg * 128 < 2**31, "int32 matmul accumulation overflow"
 
     nbits = (2 * N - 1).bit_length()
+    cbits = max(1, (C - 1).bit_length())
 
     def kernel(bits_ref, acc0_ref, bk_ref, out_ref, acc, digits, out2n):
         i = pl.program_id(0)
@@ -135,20 +141,31 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
             out2n[:] = jnp.zeros_like(out2n)
 
         x2 = digits[:]                                        # (B*P, J*C)
-        Tq = bk_ref[0, 0]                                     # (J*C, U*L*2C)
+        # Row index r (mod C) of the Toeplitz blocks, for the barrel build.
+        rowmod = jax.lax.broadcasted_iota(jnp.int32, (J * C, 2 * C), 0) & (C - 1)
         for u in range(U):
             head_acc = None
             tail_acc = None
             for l in range(L):
-                col0 = (u * L + l) * 2 * C
+                r0 = (u * L + l) * Jp
+                y = bk_ref[0, r0:r0 + J, pl.ds(q * C, C)]     # (J, C) int8
+                ypad = jnp.concatenate([y, jnp.zeros_like(y)], axis=-1)
+                # Toeplitz build: M[(j, r), c] = y_j[(c - r) mod 2C], with the
+                # zero upper half realizing the band mask. C-fold row repeat,
+                # then log2(C) conditional per-row lane rolls.
+                M = jnp.repeat(ypad, C, axis=0)               # (J*C, 2C)
+                for kb in range(cbits):
+                    rolled = jnp.roll(M, 1 << kb, axis=1)
+                    M = jnp.where(((rowmod >> kb) & 1) == 1, rolled, M)
                 z = jax.lax.dot_general(
-                    x2, Tq[:, col0:col0 + 2 * C], (((1,), (0,)), ((), ())),
+                    x2, M, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)          # (B*P, 2C)
-                zs = z << jnp.int32(8 * l)
-                head_acc = zs[:, :C] if head_acc is None else head_acc + zs[:, :C]
-                tail_acc = zs[:, C:] if tail_acc is None else tail_acc + zs[:, C:]
+                zh = z[:, :C] << jnp.int32(8 * l)
+                zt = z[:, C:] << jnp.int32(8 * l)
+                head_acc = zh if head_acc is None else head_acc + zh
+                tail_acc = zt if tail_acc is None else tail_acc + zt
             head = head_acc.reshape(B, N)      # position within slice: p*C + c
-            tail = tail_acc.reshape(B, N)      # p*C + c - C, last col is zero pad
+            tail = tail_acc.reshape(B, N)      # p*C + c - C (next chunk)
             out2n[:, u, pl.ds(q * C, N)] += head
             out2n[:, u, pl.ds((q + 1) * C, N)] += tail
 
@@ -172,7 +189,7 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
             pl.BlockSpec((1, B, nbits), lambda i, q: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, U, N), lambda i, q: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, JC, ULW), lambda i, q: (i, q, 0, 0),
+            pl.BlockSpec((1, ULJ, N), lambda i, q: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, U, N), lambda i, q: (0, 0, 0),
@@ -184,8 +201,11 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_chunked: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # Batch-resident accumulators exceed the conservative 16 MiB
+            # scoped default at production batch sizes; v5e has 128 MiB VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bk_chunked.size,
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bk_compact.size,
                                       transcendentals=0),
         interpret=interpret,
-    )(bits, acc0, bk_chunked)
+    )(bits, acc0, bk_compact)

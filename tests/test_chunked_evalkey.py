@@ -17,7 +17,7 @@ def keyset():
 
 
 def test_nand_with_chunked_evalkey(keyset):
-    ek_c = bootstrap.prepare_eval_key_chunked(keyset.cloud, P, chunk=32)
+    ek_c = bootstrap.prepare_eval_key_fused(keyset.cloud)
     ek_r = bootstrap.prepare_eval_key(keyset.cloud)
     a = np.array([0, 0, 1, 1], bool)
     b = np.array([0, 1, 0, 1], bool)

@@ -19,24 +19,24 @@ def keyset():
     return keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(9), P)
 
 
-def test_chunked_bk_layout():
+def test_compact_bk_layout():
     rng = np.random.default_rng(0)
     n, J, U, N = 3, P.tgsw_params.kpl, P.k + 1, P.N
     bk = rng.integers(-(2**31), 2**31, (n, J, U, N), dtype=np.int64).astype(np.int32)
-    C = 16
-    T = np.asarray(pallas_blindrot.prepare_chunked_bk(jnp.asarray(bk), P, chunk=C))
-    Q = N // C
+    T = np.asarray(pallas_blindrot.prepare_compact_bk(jnp.asarray(bk)))
     L = polymul.LIMBS
-    assert T.shape == (n, Q, J * C, U * L * 2 * C)
+    Jp = pallas_blindrot._padded_rows(J)
+    assert T.shape == (n, U * L * Jp, N)
+    assert T.dtype == np.int8
     limbs = np.asarray(polymul.decompose_signed_limbs(jnp.asarray(bk)))  # (n,J,U,N,L)
-    i, q, j, u, l = 1, 2, 3, 1, 2
-    for r in [0, 5, C - 1]:
-        for c in [0, 1, r, r + 3, C, 2 * C - 1]:
-            want = 0
-            if 0 <= c - r < C:
-                want = limbs[i, j, u, q * C + (c - r), l]
-            got = T[i, q, j * C + r, (u * L + l) * 2 * C + c]
-            assert got == want, (r, c, got, want)
+    for (i, j, u, l) in [(0, 0, 0, 0), (1, 3, 1, 2), (2, 1, 1, 3)]:
+        np.testing.assert_array_equal(T[i, (u * L + l) * Jp + j],
+                                      limbs[i, j, u, :, l])
+    # Padding rows are zero; limb recombination is exact mod 2^32.
+    assert not T[0, (1 * L + 2) * Jp + J:(1 * L + 3) * Jp].any()
+    recon = sum(T[1, (0 * L + l) * Jp + 2].astype(np.int64) << (8 * l)
+                for l in range(L))
+    np.testing.assert_array_equal(recon.astype(np.int32), bk[1, 2, 0])
 
 
 @pytest.mark.parametrize("chunk", [64, 32, 16])
@@ -50,9 +50,9 @@ def test_pallas_blindrot_matches_scan(keyset, chunk):
         jnp.asarray(acc0), jnp.asarray(bara), keyset.cloud.bk.bk, P,
         rotation_impl="gather"))
 
-    bk_ch = pallas_blindrot.prepare_chunked_bk(keyset.cloud.bk.bk, P, chunk=chunk)
+    bk_c = pallas_blindrot.prepare_compact_bk(keyset.cloud.bk.bk)
     got = np.asarray(pallas_blindrot.blind_rotate_pallas(
-        jnp.asarray(acc0), jnp.asarray(bara.T), bk_ch, P, chunk=chunk,
+        jnp.asarray(acc0), jnp.asarray(bara.T), bk_c, P, chunk=chunk,
         interpret=True))
     np.testing.assert_array_equal(got, want)
 
@@ -77,9 +77,9 @@ def test_pallas_bootstrap_end_to_end(keyset):
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl="gather")
     acc0 = tlwe_noiseless_trivial(rot, P.k).a
 
-    bk_ch = pallas_blindrot.prepare_chunked_bk(keyset.cloud.bk.bk, P, chunk=32)
+    bk_c = pallas_blindrot.prepare_compact_bk(keyset.cloud.bk.bk)
     acc = pallas_blindrot.blind_rotate_pallas(acc0, jnp.moveaxis(bara, -1, 0),
-                                              bk_ch, P, chunk=32, interpret=True)
+                                              bk_c, P, chunk=32, interpret=True)
     tl_ct = TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32))
     u = tlwe_extract_lwe_sample(tl_ct)
     out = keyswitch_apply(u, keyset.cloud.bk.ks, t=P.ks.t, basebit=P.ks.basebit)
@@ -107,7 +107,7 @@ def test_pallas_blindrot_mosaic_compile():
     want = np.asarray(bootstrap.blind_rotate(
         jnp.asarray(acc0), jnp.asarray(bara.T), ks.cloud.bk.bk, Pm,
         rotation_impl="gather"))
-    bk_ch = pallas_blindrot.prepare_chunked_bk(ks.cloud.bk.bk, Pm)
+    bk_c = pallas_blindrot.prepare_compact_bk(ks.cloud.bk.bk)
     got = np.asarray(pallas_blindrot.blind_rotate_pallas(
-        jnp.asarray(acc0), jnp.asarray(bara), bk_ch, Pm, interpret=False))
+        jnp.asarray(acc0), jnp.asarray(bara), bk_c, Pm, interpret=False))
     np.testing.assert_array_equal(got, want)

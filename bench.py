@@ -35,14 +35,17 @@ def main() -> None:
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
-    B = int(os.environ.get("EOC_BENCH_BATCH", "256"))
+    B = int(os.environ.get("EOC_BENCH_BATCH", "512"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
     form = os.environ.get("EOC_BENCH_FORM", "fused")  # fused (Pallas) | rows
+    # Stored key limbs: 3 = fast rounded-key form (noise-analyzed, still
+    # decrypt-exact on gate outputs), 4 = exact mod 2^32.
+    limbs = int(os.environ.get("EOC_BENCH_LIMBS", "3"))
 
     t0 = time.time()
     keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
     if form in ("fused", "chunked"):
-        ek = bootstrap.prepare_eval_key_fused(keyset.cloud)
+        ek = bootstrap.prepare_eval_key_fused(keyset.cloud, limbs=limbs)
         jax.block_until_ready(ek.bk_compact)
     else:
         ek = bootstrap.prepare_eval_key(keyset.cloud)

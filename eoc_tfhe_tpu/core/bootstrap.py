@@ -59,11 +59,18 @@ def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
                    ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks)
 
 
-def prepare_eval_key_fused(cloud: CloudKeySet) -> EvalKey:
-    """Evaluation key with the compact limb key for the fused Pallas kernel."""
-    from ..ops import pallas_blindrot
+def prepare_eval_key_fused(cloud: CloudKeySet, limbs: int | None = None) -> EvalKey:
+    """Evaluation key with the compact limb key for the fused Pallas kernel.
+
+    ``limbs=3`` selects the fast rounded-key form (the key is rounded to a
+    multiple of 2^8; see ``ops/pallas_blindrot.prepare_compact_bk`` for the
+    noise analysis) — ~LIMBS/limbs of the hot-matmul flops for noise still
+    3-4x under the inherent bootstrap noise. Default (None/4) is exact.
+    """
+    from ..ops import pallas_blindrot, polymul
     ek = prepare_eval_key(cloud)
-    ek.bk_compact = pallas_blindrot.prepare_compact_bk(ek.bk_rows)
+    ek.bk_compact = pallas_blindrot.prepare_compact_bk(
+        ek.bk_rows, limbs=polymul.LIMBS if limbs is None else limbs)
     return ek
 
 
@@ -149,8 +156,23 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
 
     tl_ct = TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32))
     out = tlwe_extract_lwe_sample(tl_ct)
-    n_var = float(params.n * params.tgsw_params.kpl * N * (params.tgsw_params.halfBg ** 2))
-    var = jnp.broadcast_to(jnp.float32(n_var) * ek.bk_variance, ct.b.shape)
+    tg = params.tgsw_params
+    n_var = float(params.n * tg.kpl * N * (tg.halfBg ** 2))
+    var = jnp.float32(n_var) * ek.bk_variance
+    if ek.bk_compact is not None:
+        # Fast rounded-key form: account the key-rounding error (uniform in
+        # [-2^(8*drop-1), 2^(8*drop-1)) per coefficient, convolved with the
+        # gadget digits over n steps; normalized torus units).
+        from ..ops import polymul, pallas_blindrot
+        Jp = pallas_blindrot._padded_rows(tg.kpl)
+        stored = ek.bk_compact.shape[1] // ((k + 1) * Jp)
+        drop = polymul.LIMBS - stored
+        if drop:
+            round_var = (params.n * tg.kpl * N
+                         * ((2 * tg.halfBg) ** 2 / 12.0)
+                         * (float(1 << (16 * drop)) / 12.0) / float(2 ** 64))
+            var = var + jnp.float32(round_var)
+    var = jnp.broadcast_to(var, ct.b.shape)
     return LweCiphertext(a=out.a, b=out.b, current_variance=var)
 
 

@@ -50,21 +50,40 @@ def _padded_rows(J: int) -> int:
     return ((J + 7) // 8) * 8
 
 
-def prepare_compact_bk(bk_rows: jax.Array) -> jax.Array:
-    """(n, kpl, k+1, N) int32 -> (n, (k+1)*LIMBS*Jp, N) int8 limb rows.
+def prepare_compact_bk(bk_rows: jax.Array,
+                       limbs: int = polymul.LIMBS) -> jax.Array:
+    """(n, kpl, k+1, N) int32 -> (n, (k+1)*limbs*Jp, N) int8 limb rows.
 
     Row order is (u, limb, j): the kernel slices one (kpl, N) group per
     (output poly, limb) pair; groups are padded to Jp = 8-aligned rows
     (zeros). Limbs are signed base-256 with wrapped top limb (exact mod
     2^32, ``polymul.decompose_signed_limbs``).
+
+    ``limbs < LIMBS`` selects the *fast rounded-key* form: the key is
+    rounded to the nearest multiple of 2^(8*(LIMBS-limbs)) (wrapping, i.e.
+    mod 2^32 — sound on the torus) and only the surviving high limbs are
+    stored; the kernel shifts them back into place. For the default
+    128-bit set with limbs=3 the rounding injects per-coefficient error
+    uniform in [-128, 128), which after the full blind rotation
+    contributes ~2^22.4 absolute torus stdev — 3-4x *below* the inherent
+    bootstrap noise (~2^24, n*kpl*N*halfBg^2*bk_var) and far inside the
+    1/16 gate margin, while cutting the hot matmul flops by LIMBS/limbs.
+    (The reference's f64 FFT likewise trades exactness for speed —
+    upstream ``executeDirectTorus32`` rounding; SURVEY.md §2.2.)
     """
     n, J, U, N = bk_rows.shape
     L = polymul.LIMBS
+    drop = L - limbs
+    assert 0 <= drop < L, limbs
+    if drop:
+        half = jnp.int32(1 << (8 * drop - 1))
+        bk_rows = (bk_rows.astype(jnp.int32) + half) & jnp.int32(-(1 << (8 * drop)))
     Jp = _padded_rows(J)
-    limbs = polymul.decompose_signed_limbs(bk_rows)       # (n, J, U, N, L)
-    x = jnp.transpose(limbs, (0, 2, 4, 1, 3))             # (n, U, L, J, N)
+    all_limbs = polymul.decompose_signed_limbs(bk_rows)   # (n, J, U, N, L)
+    all_limbs = all_limbs[..., drop:]                     # low limbs are zero
+    x = jnp.transpose(all_limbs, (0, 2, 4, 1, 3))         # (n, U, limbs, J, N)
     x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, Jp - J), (0, 0)])
-    return x.reshape(n, U * L * Jp, N).astype(jnp.int8)
+    return x.reshape(n, U * limbs * Jp, N).astype(jnp.int8)
 
 
 def _barrel_rotate_2d(ext, bits, nbits):
@@ -102,10 +121,11 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_compact: jax.Array,
         mosaic_ok = (C % 128 == 0 and B % 8 == 0)
         interpret = jax.default_backend() != "tpu" or not mosaic_ok
     n, ULJ, N2 = bk_compact.shape
-    L = polymul.LIMBS
     tg = params.tgsw_params
     J = tg.kpl
     Jp = _padded_rows(J)
+    L = ULJ // (U * Jp)             # stored limbs (fast rounded-key form if < LIMBS)
+    drop = polymul.LIMBS - L        # kernel restores dropped-limb magnitude via shifts
     P = Q = N // C
     assert ULJ == U * L * Jp and N2 == N, (bk_compact.shape, (U, L, Jp, N))
     assert J * C * tg.halfBg * 128 < 2**31, "int32 matmul accumulation overflow"
@@ -160,8 +180,8 @@ def blind_rotate_pallas(acc0: jax.Array, bara: jax.Array, bk_compact: jax.Array,
                 z = jax.lax.dot_general(
                     x2, M, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)          # (B*P, 2C)
-                zh = z[:, :C] << jnp.int32(8 * l)
-                zt = z[:, C:] << jnp.int32(8 * l)
+                zh = z[:, :C] << jnp.int32(8 * (l + drop))
+                zt = z[:, C:] << jnp.int32(8 * (l + drop))
                 head_acc = zh if head_acc is None else head_acc + zh
                 tail_acc = zt if tail_acc is None else tail_acc + zt
             head = head_acc.reshape(B, N)      # position within slice: p*C + c

@@ -111,3 +111,29 @@ def test_pallas_blindrot_mosaic_compile():
     got = np.asarray(pallas_blindrot.blind_rotate_pallas(
         jnp.asarray(acc0), jnp.asarray(bara), bk_c, Pm, interpret=False))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_blindrot_fast_rounded_key(keyset):
+    """limbs=3 fast form == exact blind rotation against the *rounded* key.
+
+    The rounded-key path is not an approximation of the kernel — it is the
+    exact mod-2^32 computation with a key whose coefficients were rounded
+    to multiples of 2^8 (noise analysis in prepare_compact_bk's docstring).
+    """
+    B, N, n = 4, P.N, P.n
+    rng = np.random.default_rng(7)
+    acc0 = rng.integers(-(2**31), 2**31, (B, P.k + 1, N),
+                        dtype=np.int64).astype(np.int32)
+    bara = rng.integers(0, 2 * N, (B, n)).astype(np.int32)
+
+    bk = keyset.cloud.bk.bk
+    bk_rounded = (bk.astype(jnp.int32) + jnp.int32(128)) & jnp.int32(-256)
+    want = np.asarray(bootstrap.blind_rotate(
+        jnp.asarray(acc0), jnp.asarray(bara), bk_rounded, P,
+        rotation_impl="gather"))
+
+    bk_c = pallas_blindrot.prepare_compact_bk(bk, limbs=3)
+    got = np.asarray(pallas_blindrot.blind_rotate_pallas(
+        jnp.asarray(acc0), jnp.asarray(bara.T), bk_c, P, chunk=32,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)

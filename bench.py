@@ -37,20 +37,26 @@ def main() -> None:
               "test": test_params}[which]()
     B = int(os.environ.get("EOC_BENCH_BATCH", "512"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
-    form = os.environ.get("EOC_BENCH_FORM", "fused")  # fused (Pallas) | rows
-    # Stored key limbs: 3 = fast rounded-key form (noise-analyzed, still
-    # decrypt-exact on gate outputs), 4 = exact mod 2^32.
+    # ntt (exact CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
+    form = os.environ.get("EOC_BENCH_FORM", "ntt")
+    # Stored key limbs for form=fused: 3 = fast rounded-key form
+    # (noise-analyzed, still decrypt-exact on gate outputs), 4 = exact.
+    # form=ntt is always exact mod 2^32.
     limbs = int(os.environ.get("EOC_BENCH_LIMBS", "3"))
 
     t0 = time.time()
     keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
-    if form in ("fused", "chunked"):
+    if form == "ntt":
+        ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
+        jax.block_until_ready(ek.bk_ntt.T8)
+    elif form in ("fused", "chunked"):
         ek = bootstrap.prepare_eval_key_fused(keyset.cloud, limbs=limbs)
         jax.block_until_ready(ek.bk_compact)
     else:
         ek = bootstrap.prepare_eval_key(keyset.cloud)
         jax.block_until_ready(ek.bk_rows)
-    print(f"# keygen {time.time() - t0:.1f}s on {jax.devices()[0].platform} form={form}",
+    keygen_s = time.time() - t0
+    print(f"# keygen {keygen_s:.1f}s on {jax.devices()[0].platform} form={form}",
           file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -69,7 +75,8 @@ def main() -> None:
     t0 = time.time()
     out = nand_step(ca, cb, ek)
     np.asarray(out[1])
-    print(f"# compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
     # One more untimed run: the first post-compile execution can include
     # one-time layout/transfer work.
     out = nand_step(ca, cb, ek)
@@ -98,6 +105,10 @@ def main() -> None:
         "value": round(float(bootstraps_per_sec), 2),
         "unit": "bootstraps/s",
         "vs_baseline": round(float(bootstraps_per_sec) / 10000.0, 4),
+        "config": {"form": form, "batch": B, "params": which,
+                   "limbs": (limbs if form in ("fused", "chunked") else "exact"),
+                   "correct": ok, "keygen_s": round(keygen_s, 1),
+                   "compile_s": round(compile_s, 1)},
     }))
 
 

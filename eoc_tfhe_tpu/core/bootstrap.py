@@ -46,6 +46,10 @@ class EvalKey:
     # ((n, (k+1)*LIMBS*kpl, N) int8, ~31 MB at 128-bit params); Toeplitz
     # blocks are built inside the kernel.
     bk_compact: jax.Array | None = None
+    # Optional CRT-NTT form (ops/ntt.py): exact mod 2^32 at ~1/6 the MAC
+    # count of the Toeplitz paths — the default fast path.
+    bk_ntt: object | None = None       # ops.ntt.NttKey
+    ntt_ctx: object | None = None      # ops.ntt.NttContext
 
     @property
     def n(self) -> int:
@@ -81,6 +85,23 @@ def prepare_eval_key_chunked(cloud: CloudKeySet,
                              chunk: int = 128) -> EvalKey:
     del params, chunk
     return prepare_eval_key_fused(cloud)
+
+
+def prepare_eval_key_ntt(cloud: CloudKeySet,
+                         params: GateBootstrappingParams) -> EvalKey:
+    """Evaluation key in CRT-NTT form (``ops/ntt.py``) — the fast exact path.
+
+    The analog of the reference's FFT-converted ``LweBootstrappingKeyFFT``
+    (upstream ``tfhe_createLweBootstrappingKey`` FFT conversion): the TGSW
+    rows are limb-split, negacyclic-NTT'd per CRT prime, and expanded into
+    the outer-twisted contraction tensor consumed by the hot loop.
+    """
+    from ..ops import ntt
+    ek = prepare_eval_key(cloud)
+    ctx = ntt.context_for_params(params)
+    ek.ntt_ctx = ctx
+    ek.bk_ntt = ntt.prepare_key_ntt(ek.bk_rows, ctx, variance=ek.bk_variance)
+    return ek
 
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
@@ -142,7 +163,16 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
-    if ek.bk_compact is not None:
+    if ek.bk_ntt is not None:
+        from ..ops import ntt
+        batch_shape = ct.b.shape
+        B = int(np.prod(batch_shape)) if batch_shape else 1
+        acc0_f = acc0.reshape((B, k + 1, N))
+        bara_f = jnp.moveaxis(bara.reshape((B, params.n)), -1, 0)
+        acc = ntt.blind_rotate_ntt(acc0_f, bara_f, ek.bk_ntt, params,
+                                   ek.ntt_ctx, rotation_impl=rotation_impl)
+        acc = acc.reshape(batch_shape + (k + 1, N))
+    elif ek.bk_compact is not None:
         from ..ops import pallas_blindrot
         batch_shape = ct.b.shape
         B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -159,7 +189,7 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     tg = params.tgsw_params
     n_var = float(params.n * tg.kpl * N * (tg.halfBg ** 2))
     var = jnp.float32(n_var) * ek.bk_variance
-    if ek.bk_compact is not None:
+    if ek.bk_compact is not None and ek.bk_ntt is None:
         # Fast rounded-key form: account the key-rounding error (uniform in
         # [-2^(8*drop-1), 2^(8*drop-1)) per coefficient, convolved with the
         # gadget digits over n steps; normalized torus units).

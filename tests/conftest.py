@@ -26,8 +26,18 @@ if not os.environ.get("EOC_TESTS_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+import sys
+
 import numpy as np
 import pytest
+
+# Make sibling test helpers (oracle.py) importable regardless of rootdir.
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running 128-bit end-to-end tests (kept in CI)")
 
 
 @pytest.fixture(scope="session")

@@ -43,8 +43,12 @@ class TfheSession:
     """Explicit-key API over the reference wrapper's operation set."""
 
     def __init__(self, params: GateBootstrappingParams | None = None,
-                 seed: int = 0):
-        self.params = params or default_128bit_params()
+                 seed: int = 0, config: "FrameworkConfig | None" = None):
+        from ..config import DEFAULT_CONFIG
+        self.config = config or DEFAULT_CONFIG
+        if params is None:
+            params = self.config.params()
+        self.params = params
         self._rng = jax.random.key(seed)
         self.keyset: SecretKeySet | None = None
 
@@ -121,25 +125,26 @@ class TfheSession:
             mus = mod_switch_to_torus32_np(vals, MSIZE)
             ct = lwe.lwe_sym_encrypt(self._next_key(), jnp.asarray(mus), ALPHA,
                                      ks.lwe_key)
-            f = tfhe_io._io.BytesIO()
-            a, b, v = np.asarray(ct.a), np.asarray(ct.b), np.asarray(ct.current_variance)
-            for i in range(len(text)):
-                tfhe_io.write_lwe_sample(f, a[i], int(b[i]), float(v[i]))
-            return tfhe_io.b64encode(f.getvalue())
+            # Bulk codec: one vectorized pack of all per-char UID-42 records
+            # (identical bytes to per-record write_lwe_sample calls; the
+            # reference loops one export per char, eoc-tfhe-run.cpp:330-334).
+            blob = tfhe_io.pack_lwe_samples(
+                np.asarray(ct.a), np.asarray(ct.b),
+                np.asarray(ct.current_variance, np.float64))
+            return tfhe_io.b64encode(blob)
 
     def decrypt_ascii_string(self, b64_ct: str, msg_length: int) -> str:
         ks = self._require_key()
         with op_timer("decryptASCIIString"):
             n = self.params.n
-            f = tfhe_io._io.BytesIO(tfhe_io.b64decode(b64_ct))
-            chars = []
-            for _ in range(msg_length):
-                a, b, _v = tfhe_io.read_lwe_sample(f, n)
-                ct = lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.int32(b),
-                                       current_variance=jnp.float32(0.0))
-                phase = int(lwe.lwe_phase(ct, ks.lwe_key))
-                chars.append(chr(int(mod_switch_from_torus32_np(np.int32(phase), MSIZE)) & 0xFF))
-            return "".join(chars)
+            data = tfhe_io.b64decode(b64_ct)
+            a, b, _v = tfhe_io.unpack_lwe_samples(data, msg_length, n)
+            ct = lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
+                                   current_variance=jnp.zeros(msg_length,
+                                                              jnp.float32))
+            phases = np.asarray(lwe.lwe_phase(ct, ks.lwe_key))
+            vals = mod_switch_from_torus32_np(phases.astype(np.int32), MSIZE)
+            return "".join(chr(int(v) & 0xFF) for v in vals)
 
     # -- leveled arithmetic (eoc-tfhe-run.cpp:427-513) ---------------------
 
@@ -164,8 +169,15 @@ class Tfhe:
     (generateSecretKey, decryptInteger, decryptASCIIString).
     """
 
-    def __init__(self, params: GateBootstrappingParams | None = None, seed: int = 0):
-        self._s = TfheSession(params, seed)
+    def __init__(self, params: GateBootstrappingParams | None = None,
+                 seed: int = 0, config: "FrameworkConfig | None" = None):
+        self._s = TfheSession(params, seed, config=config)
+        self.config = self._s.config
+
+    def _jwt_ok(self, token: str) -> bool:
+        # config.enable_jwt=False disables the gate entirely (the published
+        # reference module effectively runs this way, WcCL…/README.md:23-30).
+        return (not self.config.enable_jwt) or validate_jwt(token)
 
     def info(self) -> str:
         return ("TFHE Library: Enabling fully homomorphic encryption computations "
@@ -181,7 +193,7 @@ class Tfhe:
 
     def generateSecretKey(self, token: str = "a.b", jwks: str = "") -> str | None:
         # Reference: invalid JWT -> nullptr (eoc-tfhe-run.cpp:216-219).
-        if not validate_jwt(token):
+        if not self._jwt_ok(token):
             return None
         return self._s.generate_secret_key()
 
@@ -197,7 +209,7 @@ class Tfhe:
 
     def decryptInteger(self, ct: str, key: str = "", token: str = "",
                        jwks: str = "") -> int:
-        if token and not validate_jwt(token):
+        if token and not self._jwt_ok(token):
             return -1
         return self._s.decrypt_integer(ct)
 
@@ -207,7 +219,7 @@ class Tfhe:
 
     def decryptASCIIString(self, ct: str, length: int, key: str = "",
                            token: str = "", jwks: str = "") -> str | None:
-        if token and not validate_jwt(token):
+        if token and not self._jwt_ok(token):
             return None
         return self._s.decrypt_ascii_string(ct, length)
 

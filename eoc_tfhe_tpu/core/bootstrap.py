@@ -8,7 +8,11 @@ TPU-native re-implementation of upstream ``lwe-bootstrapping-functions[-fft].cpp
     advancing together (the reference loops one sample at a time).
   * The per-iteration CMux uses the exact int8-limb MXU external product
     (``ops/polymul.small_by_torus_matmul``) instead of f64 FFTs; results are
-    exact mod 2^32 (strictly less noise than the reference's FFT rounding).
+    exact mod 2^32, so the default (full-limb) key forms add strictly less
+    noise than the reference's FFT rounding. (The optional rounded-key fast
+    form, ``prepare_eval_key_fused(limbs<4)``, trades a bounded, accounted
+    key-rounding error for fewer MACs — see the variance bookkeeping in
+    :func:`bootstrap_woKS`.)
   * ``bara_i == 0`` iterations are algebraically no-ops here (decompose(0)=0),
     so the reference's ``continue`` needs no branch.
 """
@@ -198,8 +202,12 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
         stored = ek.bk_compact.shape[1] // ((k + 1) * Jp)
         drop = polymul.LIMBS - stored
         if drop:
+            # Worst-case digit bound halfBg^2 (matching the inherent term's
+            # convention above, not the average-case (2*halfBg)^2/12 — the
+            # rounding error is fixed per key, so it is correlated across
+            # bootstraps and the conservative bound is the right one).
             round_var = (params.n * tg.kpl * N
-                         * ((2 * tg.halfBg) ** 2 / 12.0)
+                         * float(tg.halfBg ** 2)
                          * (float(1 << (16 * drop)) / 12.0) / float(2 ** 64))
             var = var + jnp.float32(round_var)
     var = jnp.broadcast_to(var, ct.b.shape)

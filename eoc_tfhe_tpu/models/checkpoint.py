@@ -17,6 +17,12 @@ Layouts (little-endian):
   v1: 256-byte header [magic 0x616b3432 ("ak42"), version=1, the 7 ints,
     shared_classifier byte, zero pad], then norms first, then matmul
     weights, then [output]. No freqs tables (recomputed).
+  v2 (Q8_0): 256-byte header [magic, version=2, the 7 ints,
+    shared_classifier byte, group_size int32, zero pad], then fp32 norms
+    (attention norms, ffn norms, final norm), then each quantized tensor as
+    int8 values followed by per-group fp32 scales, in order:
+    tok_embeddings, wq*L, wk*L, wv*L, wo*L, w1*L, w2*L, w3*L, [output]
+    (reference ``convert-model.py`` ``version2_export``).
 
 Weight orientation: the files store torch ``nn.Linear`` weights (out, in);
 this framework right-multiplies, so matrices are transposed to (in, out)
@@ -43,9 +49,13 @@ def _mats():
     return {"wq", "wk", "wv", "wo", "w1", "w2", "w3"}
 
 
+#: v2 quantized-tensor order (tensor-type grouped across layers).
+_V2_MATS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
 def save_llama2c(path: str, params: dict, cfg: LlamaConfig,
-                 version: int = 0) -> None:
-    """Write a v0 (legacy) or v1 llama2.c checkpoint."""
+                 version: int = 0, group_size: int = 64) -> None:
+    """Write a v0 (legacy), v1 (fp32) or v2 (Q8_0 int8) llama2.c checkpoint."""
     p = {k: np.asarray(v, np.float32) for k, v in params.items()}
     shared = "output" not in p
     hdr7 = struct.pack(
@@ -86,6 +96,28 @@ def save_llama2c(path: str, params: dict, cfg: LlamaConfig,
                     f.write(np.ascontiguousarray(mat(name, li)).tobytes())
             if not shared:
                 f.write(p["output"].tobytes())
+        elif version == 2:
+            while cfg.dim % group_size != 0:   # reference BACKOFF behavior
+                group_size //= 2
+            f.write(struct.pack("<Ii", _MAGIC, 2))
+            f.write(hdr7)
+            f.write(struct.pack("B", int(shared)))
+            f.write(struct.pack("<i", group_size))
+            f.write(b"\0" * (256 - 4 - 4 - 28 - 1 - 4))
+            for name in ("attention_norm", "ffn_norm"):
+                for li in range(cfg.n_layers):
+                    f.write(np.ascontiguousarray(mat(name, li)).tobytes())
+            f.write(p["norm"].tobytes())
+            quantized = [p["tok_embeddings"]]
+            for name in _V2_MATS:
+                quantized += [np.ascontiguousarray(mat(name, li))
+                              for li in range(cfg.n_layers)]
+            if not shared:
+                quantized.append(p["output"])
+            for w in quantized:
+                q, scale, _err = quantize_q80(w, group_size)
+                f.write(q.tobytes())
+                f.write(scale.astype("<f4").tobytes())
         else:
             raise ValueError(f"unsupported export version {version}")
 
@@ -100,14 +132,19 @@ def load_llama2c(path: str, max_seq_len: int | None = None
     """Read a v0 or v1 llama2.c checkpoint -> (config, layer-stacked params)."""
     with open(path, "rb") as f:
         first = struct.unpack("<I", f.read(4))[0]
+        group_size = 0
         if first == _MAGIC:
             version = struct.unpack("<i", f.read(4))[0]
-            if version != 1:
+            if version not in (1, 2):
                 raise ValueError(f"unsupported .bin version {version}")
             dim, hid, L, nh, nkv, vocab, msl = struct.unpack("<iiiiiii",
                                                              f.read(28))
             shared = bool(f.read(1)[0])
-            f.read(256 - 4 - 4 - 28 - 1)
+            if version == 2:
+                (group_size,) = struct.unpack("<i", f.read(4))
+                f.read(256 - 4 - 4 - 28 - 1 - 4)
+            else:
+                f.read(256 - 4 - 4 - 28 - 1)
         else:
             version = 0
             rest = struct.unpack("<iiiiii", f.read(24))
@@ -141,7 +178,7 @@ def load_llama2c(path: str, max_seq_len: int | None = None
             _read_f32(f, (msl, hd // 2))    # freqs_sin
             if not shared:
                 params["output"] = _read_f32(f, (vocab, dim))
-        else:
+        elif version == 1:
             for name in ("attention_norm", "ffn_norm"):
                 params[name] = rd_layers(name)
             params["norm"] = _read_f32(f, (dim,))
@@ -150,6 +187,24 @@ def load_llama2c(path: str, max_seq_len: int | None = None
                 params[name] = rd_layers(name)
             if not shared:
                 params["output"] = _read_f32(f, (vocab, dim))
+        else:  # v2 Q8_0
+            def rd_q80(shape):
+                count = int(np.prod(shape))
+                q = np.frombuffer(f.read(count), np.int8)
+                s = np.frombuffer(f.read(4 * (count // group_size)), "<f4")
+                w = (q.astype(np.float32).reshape(-1, group_size)
+                     * s[:, None]).reshape(shape)
+                return w
+
+            for name in ("attention_norm", "ffn_norm"):
+                params[name] = rd_layers(name)
+            params["norm"] = _read_f32(f, (dim,))
+            params["tok_embeddings"] = rd_q80((vocab, dim))
+            for name in _V2_MATS:
+                ws = [rd_q80(shapes[name]).T for _ in range(L)]
+                params[name] = np.stack(ws)
+            if not shared:
+                params["output"] = rd_q80((vocab, dim))
     return cfg, params
 
 

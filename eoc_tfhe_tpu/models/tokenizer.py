@@ -58,9 +58,12 @@ class Tokenizer:
     def encode(self, s: str, bos: bool = False, eos: bool = False) -> list[int]:
         ids: list[int] = []
         data = s.encode("utf-8")
-        # Leading-space convention: SentencePiece prefixes text with a space.
-        if data and b" " + data[:1] not in (None,):
-            pass
+        # SentencePiece add_dummy_prefix convention (llama2.c run.c encode():
+        # non-empty text gets the " " token prepended before byte/BPE merging).
+        if data:
+            sp = self.lookup.get(b" ")
+            if sp is not None:
+                ids.append(sp)
         for byte in data:
             tok = bytes([byte])
             if tok in self.lookup:
@@ -92,9 +95,14 @@ class Tokenizer:
             return bytes([tid - BYTE_FALLBACK_OFFSET])
         return b""
 
-    def decode(self, ids: list[int]) -> str:
-        return b"".join(self._bytes(int(t)) for t in ids).decode(
-            "utf-8", errors="replace")
+    def decode(self, ids: list[int], bos: bool = False) -> str:
+        """ids -> text. ``bos=True`` means the ids directly follow a BOS
+        token: per SentencePiece/llama2.c convention the dummy-prefix space
+        of the first piece is stripped (run.c ``decode()``)."""
+        out = b"".join(self._bytes(int(t)) for t in ids)
+        if bos and out.startswith(b" "):
+            out = out[1:]
+        return out.decode("utf-8", errors="replace")
 
 
 def byte_tokenizer(vocab_size: int = 512) -> Tokenizer:

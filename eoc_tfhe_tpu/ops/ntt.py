@@ -123,6 +123,7 @@ def _balanced_np(x: np.ndarray, p: int) -> np.ndarray:
     return np.where(r > p // 2, r - p, r).astype(np.int64)
 
 
+@functools.lru_cache(maxsize=None)
 def _ntt_matrices_np(p: int, F: int) -> tuple[np.ndarray, np.ndarray]:
     """(W, Winv) int64 balanced: W[t,f] = psi^{(2f+1)t}, Winv[f,t] =
     F^{-1} psi^{-(2f+1)t} — the single-stage negacyclic NTT pair mod p."""

@@ -22,8 +22,12 @@ Design (see ops/polymul.py for why arithmetic is exact integer):
     int8 matmul (B*P, kpl*C) @ (kpl*C, 2C) then lands in a 2N-wide int32
     overlap-add buffer with exact limb shifts.
   * At q=Q-1: negacyclic fold (head - wrapped tail) into the accumulator.
-  * Everything exact mod 2^32 (int8 x int8 -> int32; accumulation bounds
-    asserted at trace time).
+  * Everything exact mod 2^32 w.r.t. the *stored* key (int8 x int8 -> int32;
+    accumulation bounds asserted at trace time). With the default
+    ``limbs=LIMBS`` the stored key is the true key; ``limbs<LIMBS`` rounds
+    the key to a multiple of 2^(8*drop) (noise analysis in
+    :func:`prepare_compact_bk`), and exactness is relative to that rounded
+    key.
 """
 
 from __future__ import annotations

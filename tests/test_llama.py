@@ -115,6 +115,34 @@ def test_checkpoint_roundtrip(tmp_path, version, shared):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.parametrize("shared", [True, False])
+def test_checkpoint_v2_q80_roundtrip(tmp_path, shared):
+    """v2 Q8_0 container: loads back within quantization error and runs.
+
+    Format per reference ``convert-model.py`` ``version2_export``
+    (256-byte header w/ group_size, fp32 norms, int8+scales tensors)."""
+    cfg = llama.LlamaConfig(dim=16, hidden_dim=32, n_layers=2, n_heads=2,
+                            n_kv_heads=1, vocab_size=48, max_seq_len=16,
+                            shared_classifier=shared)
+    params = llama.init_params(jax.random.key(4), cfg)
+    path = str(tmp_path / "model_v2.bin")
+    checkpoint.save_llama2c(path, params, cfg, version=2, group_size=16)
+    cfg2, params2 = checkpoint.load_llama2c(path)
+    assert cfg2 == cfg
+    for k, v in params.items():
+        v = np.asarray(v, np.float32)
+        if k in ("attention_norm", "ffn_norm", "norm"):
+            np.testing.assert_array_equal(v, params2[k], err_msg=k)
+        else:
+            # Q8_0: |err| <= scale/2 <= max|w|/254 per group.
+            tol = np.abs(v).max() / 127.0
+            np.testing.assert_allclose(params2[k], v, atol=tol, err_msg=k)
+    toks = jax.random.randint(jax.random.key(5), (1, 5), 0, cfg.vocab_size)
+    out = llama.forward({k: jnp.asarray(v) for k, v in params2.items()},
+                        toks, cfg, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_quantize_q80_matches_reference_semantics():
     rng = np.random.default_rng(0)
     w = rng.normal(size=(8, 64)).astype(np.float32)
@@ -135,7 +163,10 @@ def test_tokenizer_bin_roundtrip(tmp_path):
     s = "Hello TFHE!"
     ids = tok2.encode(s, bos=True)
     assert ids[0] == tokenizer.BOS_ID
-    assert tok2.decode(ids[1:]) == s
+    # encode prepends the SentencePiece dummy-prefix space; decode(bos=True)
+    # strips it (llama2.c run.c encode/decode conventions).
+    assert tok2.decode(ids[1:], bos=True) == s
+    assert tok2.decode(ids[1:]) == " " + s
 
 
 def test_tokenizer_greedy_merges():

@@ -108,3 +108,72 @@ def make_sharded_nand(mesh: Mesh, params: GateBootstrappingParams,
     from ..core.numeric import mod_switch_to_torus32_np
     off = int(mod_switch_to_torus32_np(1, 8))
     return make_sharded_gate(mesh, params, off, -1, -1, rotation_impl)
+
+
+# ---------------------------------------------------------------------------
+# TP external product: TGSW-row split of the blind rotation (key-partitioned
+# mode). The north star names this axis explicitly (SURVEY.md §2.4 TP row:
+# limb/TGSW-row partition of the external product with collectives on ICI).
+# ---------------------------------------------------------------------------
+
+def shard_ntt_key_rows(T8: jax.Array, mesh: Mesh):
+    """Place the NTT key tensor with its contraction axis sharded over tp.
+
+    T8: (n, P, L, 2, F, J*R, U*R) from ``ntt.prepare_key_ntt``. The J*R axis
+    is j-major, so a tp split over it partitions whole TGSW rows j — each
+    device stores 1/tp of the bootstrapping key (the memory-bound
+    "key-partitioned" deployment mode).
+    """
+    return jax.device_put(T8, NamedSharding(mesh, P(None, None, None, None,
+                                                    None, "tp", None)))
+
+
+def blind_rotate_ntt_tp(acc0: jax.Array, bara: jax.Array, T8_sharded,
+                        params: GateBootstrappingParams, ctx, mesh: Mesh,
+                        rotation_impl: str = "auto",
+                        axis: str = "tp") -> jax.Array:
+    """Blind rotation with the external-product contraction split over tp.
+
+    Per step, each device decomposes the (tp-replicated, dp-sharded)
+    accumulator, keeps its slice of the gadget digits, runs the full local
+    NTT pipeline against its key-row slice (partial results stay exact
+    int32: a j-subset of the convolution respects the same CRT bound as the
+    full sum), and an exact int32 ``psum`` over tp merges the partial
+    Delta-acc. Bit-identical to the replicated path.
+
+    Args:
+      acc0: (B, k+1, N) int32; bara: (n, B) int32; T8_sharded: the NttKey
+      T8 tensor placed by :func:`shard_ntt_key_rows`.
+    """
+    from ..core.tgsw import decompose_h
+    from ..ops import ntt as ntt_mod
+    from ..ops import rotate
+    tg = params.tgsw_params
+    J = tg.kpl
+    ntp = mesh.shape[axis]
+    assert J % ntp == 0, (J, ntp)
+    J_local = J // ntp
+
+    def local_rotate(acc0_l, bara_l, T8_l):
+        def step(acc, xs):
+            T8_step, bara_i = xs
+            d = rotate.mul_by_xai(acc, bara_i[:, None], impl=rotation_impl) - acc
+            digits = decompose_h(d.astype(jnp.int32), tg)      # (B, J, N)
+            idx = jax.lax.axis_index(axis)
+            dig_l = jax.lax.dynamic_slice_in_dim(
+                digits, idx * J_local, J_local, axis=1)
+            delta = ntt_mod.external_product_ntt(dig_l, T8_step, ctx)
+            delta = jax.lax.psum(delta, axis)                  # exact mod 2^32
+            return (acc + delta).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(step, acc0_l, (T8_l, bara_l))
+        return acc
+
+    smapped = shard_map(
+        local_rotate, mesh=mesh,
+        in_specs=(P("dp"), P(None, "dp"), P(None, None, None, None, None,
+                                            "tp", None)),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return smapped(acc0, bara, T8_sharded)

@@ -241,9 +241,24 @@ class OracleBootstrap:
         b = (2 * (ca[1].astype(_I64) + cb[1].astype(_I64)) + q).astype(_I32)
         return self.bootstrap(mu, a, b)
 
+
+    def mux(self, cc, ca, cb):
+        """bootsMUX: c ? a : b — two woKS bootstraps + add + keyswitch."""
+        mu = int(mod_switch_to_torus32(1, 8))
+        neg = int(mod_switch_to_torus32(7, 8)) - (1 << 32)  # -1/8 as int32
+        a1 = (cc[0].astype(_I64) + ca[0].astype(_I64)).astype(_I32)
+        b1 = (cc[1].astype(_I64) + ca[1].astype(_I64) + neg).astype(_I32)
+        a2 = (cb[0].astype(_I64) - cc[0].astype(_I64)).astype(_I32)
+        b2 = (cb[1].astype(_I64) - cc[1].astype(_I64) + neg).astype(_I32)
+        u1a, u1b = self.bootstrap_woKS(mu, a1, b1)
+        u2a, u2b = self.bootstrap_woKS(mu, a2, b2)
+        sa = (u1a.astype(_I64) + u2a.astype(_I64)).astype(_I32)
+        sb = (u1b.astype(_I64) + u2b.astype(_I64) + mu).astype(_I32)
+        return self.keyswitch(sa, sb)
+
     def and_(self, ca, cb):
         mu = int(mod_switch_to_torus32(1, 8))
-        neg = int(mod_switch_to_torus32(7, 8) - (1 << 32))  # -1/8 as int32
+        neg = int(mod_switch_to_torus32(7, 8)) - (1 << 32)  # -1/8 as int32
         a, b = self._lin((neg, (1, 1)), ca, cb)
         return self.bootstrap(mu, a, b)
 

@@ -45,3 +45,27 @@ def test_ripple_carry_adder_8bit(keyset, ek):
     want = a_vals + b_vals
     np.testing.assert_array_equal(_from_bits(got_bits), want & 0xFF)
     np.testing.assert_array_equal(got_carry, (want >> nbits) & 1)
+
+
+@pytest.mark.slow
+def test_ripple_carry_adder_128bit_params():
+    """The 8-bit adder at the real 128-bit parameter set (VERDICT r1 item 3:
+    a toy-params-only bug cannot pass CI). CPU: ~tens of minutes — marked
+    slow; on the attached TPU (EOC_TESTS_TPU=1) it runs in seconds."""
+    from eoc_tfhe_tpu.core.params import default_128bit_params
+    p128 = default_128bit_params()
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(6), p128)
+    ek128 = bootstrap.prepare_eval_key_ntt(ks.cloud, p128)
+    nbits = 8
+    a_vals = np.array([170, 255])
+    b_vals = np.array([85, 1])
+    a_bits = _bits(a_vals, nbits)
+    b_bits = _bits(b_vals, nbits)
+    ca = gates.encrypt_bit(jax.random.key(23), jnp.asarray(a_bits), ks.lwe_key, p128)
+    cb = gates.encrypt_bit(jax.random.key(24), jnp.asarray(b_bits), ks.lwe_key, p128)
+    s_bits, carry = ripple_carry_add(ca, cb, ek128, p128)
+    want = a_vals + b_vals
+    np.testing.assert_array_equal(
+        _from_bits(gates.decrypt_bit(s_bits, ks.lwe_key)), want & 0xFF)
+    np.testing.assert_array_equal(
+        gates.decrypt_bit(carry, ks.lwe_key), (want >> nbits) & 1)

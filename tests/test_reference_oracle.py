@@ -157,3 +157,42 @@ def test_gates_vs_oracle(params_fn, marker):
         diff = np.abs(our_phase.astype(np.int64) - orc_phase.astype(np.int64))
         assert diff.max() < (1 << 27), diff.max()
         assert np.abs(np.abs(our_phase.astype(np.int64)) - mu8).max() < (1 << 28)
+
+
+@pytest.mark.parametrize("params_fn", [
+    test_params,
+    pytest.param(default_128bit_params, marks=pytest.mark.slow),
+])
+def test_mux_vs_oracle(params_fn):
+    """bootsMUX (2 woKS bootstraps + keyswitch) vs the f64 oracle."""
+    params = params_fn()
+    keyset = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), params)
+    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
+    orc = oracle.OracleBootstrap(
+        bk_rows=np.asarray(keyset.cloud.bk.bk),
+        ks=np.asarray(keyset.cloud.bk.ks.ks),
+        params=params)
+
+    rng = np.random.default_rng(9)
+    B = 4
+    c = rng.integers(0, 2, B).astype(bool)
+    a = rng.integers(0, 2, B).astype(bool)
+    b = rng.integers(0, 2, B).astype(bool)
+    cc = gates.encrypt_bit(jax.random.key(21), jnp.asarray(c), keyset.lwe_key, params)
+    ca = gates.encrypt_bit(jax.random.key(22), jnp.asarray(a), keyset.lwe_key, params)
+    cb = gates.encrypt_bit(jax.random.key(23), jnp.asarray(b), keyset.lwe_key, params)
+
+    out = gates.mux(cc, ca, cb, ek, params)
+    truth = np.where(c, a, b)
+    np.testing.assert_array_equal(
+        np.asarray(gates.decrypt_bit(out, keyset.lwe_key)), truth)
+
+    oa, ob = orc.mux((np.asarray(cc.a), np.asarray(cc.b)),
+                     (np.asarray(ca.a), np.asarray(ca.b)),
+                     (np.asarray(cb.a), np.asarray(cb.b)))
+    s = np.asarray(keyset.lwe_key.s)
+    np.testing.assert_array_equal(oracle.lwe_phase(oa, ob, s) > 0, truth)
+    our_phase = oracle.lwe_phase(np.asarray(out.a), np.asarray(out.b), s)
+    diff = np.abs(our_phase.astype(np.int64)
+                  - oracle.lwe_phase(oa, ob, s).astype(np.int64))
+    assert diff.max() < (1 << 28), diff.max()

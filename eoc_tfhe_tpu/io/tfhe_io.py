@@ -58,11 +58,24 @@ _F64 = struct.Struct("<d")
 # Text-mode property sections.
 # ---------------------------------------------------------------------------
 
+def format_double_cpp(v: float) -> str:
+    """Format a double exactly as ``std::ostream <<`` does by default.
+
+    libc++/libstdc++ ostream insertion with default flags is printf
+    ``%.6g``: 6 significant digits, trailing zeros stripped, >= 2 exponent
+    digits (e.g. ``2^-15 -> "3.05176e-05"``, not Python repr's
+    ``"3.0517578125e-05"``). This is deliberately lossy — matching the
+    reference byte stream matters more than round-trip precision; binary
+    records keep full f64 payloads.
+    """
+    return f"{float(v):.6g}"
+
+
 def write_section(f, title: str, props: dict) -> None:
     f.write(f"-----BEGIN {title}-----\n".encode())
     for k, v in props.items():
         if isinstance(v, float):
-            v = repr(v)
+            v = format_double_cpp(v)
         f.write(f"{k}: {v}\n".encode())
     f.write(f"-----END {title}-----\n".encode())
 

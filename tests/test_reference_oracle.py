@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import pytest
 
 from eoc_tfhe_tpu.core import bootstrap, gates, keys
-from eoc_tfhe_tpu.core.params import default_128bit_params, test_params
+from eoc_tfhe_tpu.core.params import default_128bit_params
+from eoc_tfhe_tpu.core.params import test_params as toy_params
 from eoc_tfhe_tpu.ops import ntt, polymul
 
 import oracle
@@ -70,7 +71,7 @@ def test_oracle_modswitch_matches_package():
     np.testing.assert_array_equal(ms, want2)
 
 
-@pytest.mark.parametrize("params_fn", [test_params, default_128bit_params])
+@pytest.mark.parametrize("params_fn", [toy_params, default_128bit_params])
 def test_external_product_vs_oracle_fft(params_fn):
     """One exact NTT external product vs the oracle's f64 FFT version."""
     params = params_fn()
@@ -110,7 +111,7 @@ def _encrypt_pair(keyset, params, a, b):
 
 
 @pytest.mark.parametrize("params_fn,marker", [
-    (test_params, None),
+    (toy_params, None),
     pytest.param(default_128bit_params, None, marks=pytest.mark.slow),
 ])
 def test_gates_vs_oracle(params_fn, marker):
@@ -160,7 +161,7 @@ def test_gates_vs_oracle(params_fn, marker):
 
 
 @pytest.mark.parametrize("params_fn", [
-    test_params,
+    toy_params,
     pytest.param(default_128bit_params, marks=pytest.mark.slow),
 ])
 def test_mux_vs_oracle(params_fn):

@@ -68,3 +68,50 @@ def test_process_replay_determinism():
     k1 = out(Process.from_log(p.log[:1], params=make_test_params())
              .handle(msg("GenerateSecretKey", Token="h.p"), ENV))
     assert isinstance(k1, str)
+
+
+def test_eval_handler_reference_style():
+    """The reference test style: drive the API via Eval Data programs
+    (tests/tfhe.test.js sends Lua like `Tfhe.generateSecretKey(...)`)."""
+    p = Process(params=make_test_params())
+    r = out(p.handle(msg("Eval", data='Tfhe.info()'), ENV))
+    assert "TFHE Library" in r
+    out(p.handle(msg("Eval", data='key = Tfhe.generateSecretKey("h.p", "")'), ENV))
+    ct = out(p.handle(msg("Eval", data='ct = Tfhe.encryptInteger(42, "")'), ENV))
+    got = out(p.handle(msg("Eval", data='Tfhe.decryptInteger(ct, "", "h.p", "")'), ENV))
+    assert got == "42"
+    # Variables persist across messages; add 15+27 like the reference test.
+    prog = ('a = Tfhe.encryptInteger(15, "")\n'
+            'b = Tfhe.encryptInteger(27, "")\n'
+            's = Tfhe.addCiphertexts(a, b, "")\n'
+            'Tfhe.decryptInteger(s, "", "h.p", "")')
+    assert out(p.handle(msg("Eval", data=prog), ENV)) == "42"
+
+
+def test_eval_rejects_escapes():
+    p = Process(params=make_test_params())
+    out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
+    for bad in ["__import__('os')", "Tfhe._s", "open('/etc/passwd')",
+                "import os", "Tfhe.__class__()", "(lambda: 1)()"]:
+        r = json.loads(p.handle(msg("Eval", data=bad), ENV))
+        assert r["Error"] is not None, bad
+
+
+def test_router_delivers_between_processes():
+    from eoc_tfhe_tpu.process import Router
+    alice = Process(params=make_test_params(), process_id="alice")
+    bob = Process(params=make_test_params(), process_id="bob")
+    router = Router()
+    router.register(alice)
+    router.register(bob)
+    # bob needs a key to evaluate forwarded programs
+    router.push("bob", {"Tags": [{"name": "Action", "value": "GenerateSecretKey"},
+                                 {"name": "Token", "value": "h.p"}]})
+    # alice forwards an Eval program to bob via her Send handler
+    resp = router.push("alice", {
+        "Tags": [{"name": "Action", "value": "Send"},
+                 {"name": "Target", "value": "bob"},
+                 {"name": "Forward-Action", "value": "Eval"}],
+        "Data": 'Tfhe.info()'})
+    assert resp[0]["Error"] is None and resp[0]["Output"]["data"]["output"] == "OK"
+    assert "TFHE Library" in resp[1]["Output"]["data"]["output"]

@@ -174,10 +174,17 @@ class Tfhe:
         self._s = TfheSession(params, seed, config=config)
         self.config = self._s.config
 
-    def _jwt_ok(self, token: str) -> bool:
+    def _jwt_ok(self, token: str, jwks: str = "") -> bool:
         # config.enable_jwt=False disables the gate entirely (the published
         # reference module effectively runs this way, WcCL…/README.md:23-30).
-        return (not self.config.enable_jwt) or validate_jwt(token)
+        # config.jwt_rs256=True upgrades to real RS256 verification against
+        # the supplied JWKS (api/jwt.verify_rs256).
+        if not self.config.enable_jwt:
+            return True
+        if self.config.jwt_rs256:
+            from .jwt import verify_rs256
+            return verify_rs256(token, jwks)
+        return validate_jwt(token)
 
     def info(self) -> str:
         return ("TFHE Library: Enabling fully homomorphic encryption computations "
@@ -193,7 +200,7 @@ class Tfhe:
 
     def generateSecretKey(self, token: str = "a.b", jwks: str = "") -> str | None:
         # Reference: invalid JWT -> nullptr (eoc-tfhe-run.cpp:216-219).
-        if not self._jwt_ok(token):
+        if not self._jwt_ok(token, jwks):
             return None
         return self._s.generate_secret_key()
 
@@ -209,7 +216,7 @@ class Tfhe:
 
     def decryptInteger(self, ct: str, key: str = "", token: str = "",
                        jwks: str = "") -> int:
-        if token and not self._jwt_ok(token):
+        if token and not self._jwt_ok(token, jwks):
             return -1
         return self._s.decrypt_integer(ct)
 
@@ -219,7 +226,7 @@ class Tfhe:
 
     def decryptASCIIString(self, ct: str, length: int, key: str = "",
                            token: str = "", jwks: str = "") -> str | None:
-        if token and not self._jwt_ok(token):
+        if token and not self._jwt_ok(token, jwks):
             return None
         return self._s.decrypt_ascii_string(ct, length)
 

@@ -28,6 +28,9 @@ class FrameworkConfig:
     eval_key_form: str = "rows"
     # JWT gate on API entry points (structural validation, reference parity).
     enable_jwt: bool = True
+    # Real RS256 signature verification against the supplied JWKS (the
+    # capability the reference links jwt-cpp/OpenSSL for but never enables).
+    jwt_rs256: bool = False
     # Sharding mesh: data-parallel x tensor-parallel device counts (0 = all).
     mesh_dp: int = 0
     mesh_tp: int = 1

@@ -104,7 +104,10 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     ek = prepare_eval_key(cloud)
     ctx = ntt.context_for_params(params)
     ek.ntt_ctx = ctx
-    ek.bk_ntt = ntt.prepare_key_ntt(ek.bk_rows, ctx, variance=ek.bk_variance)
+    # Host-side build: bit-identical to the jitted device build but needs no
+    # XLA compile (key prep is one-time; compile latency dominated it).
+    ek.bk_ntt = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
+                                       variance=float(ek.bk_variance))
     return ek
 
 

@@ -418,6 +418,57 @@ def prepare_key_ntt(bk_rows: jax.Array, ctx: NttContext,
                   variance=jnp.asarray(variance, jnp.float32))
 
 
+def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
+                       variance: float = 0.0) -> NttKey:
+    """Host-side (numpy) :func:`prepare_key_ntt` — bit-identical output.
+
+    One-time key preparation does not need a device compile; int64 numpy
+    keeps every intermediate exact (|W|<=p/2, residues < 2^16, F<=128 =>
+    products < 2^38 << 2^63).
+    """
+    bk = np.asarray(bk_rows)
+    n, J, U, N = bk.shape
+    R, F, L, bits = ctx.R, ctx.F, ctx.key_limbs, ctx.key_limb_bits
+
+    # signed_limbs (base 2^bits, borrow-carried like the device version)
+    out, c = [], bk.astype(np.int64)
+    base, half = 1 << bits, 1 << (bits - 1)
+    for _ in range(L - 1):
+        m = c & (base - 1)
+        borrow = (m >= half).astype(np.int64)
+        out.append(m - borrow * base)
+        c = (c >> bits) + borrow
+    out.append(c)
+    kl = np.stack(out)                                   # (L, n, J, U, N)
+
+    sub = np.swapaxes(kl.reshape(kl.shape[:-1] + (F, R)), -1, -2)  # (...,R,F)
+
+    outs = []
+    for p in ctx.primes:
+        W, _ = _ntt_matrices_np(p, F)                    # (F, F) balanced
+        bhat = _balanced_np(sub @ W, p)                  # (L, n, J, U, R, F)
+        psi = _root_of_unity(p, 2 * F)
+        om = _balanced_np(np.array([pow(psi, 2 * f + 1, p)
+                                    for f in range(F)], dtype=np.int64), p)
+        rolls = []
+        for r1 in range(R):
+            rolled = np.roll(bhat, r1, axis=-2)
+            if r1:
+                tw = _balanced_np(rolled * om, p)
+                smask = (np.arange(R) < r1)[:, None]
+                rolled = np.where(smask, tw, rolled)
+            rolls.append(rolled)
+        outs.append(np.stack(rolls, axis=-3))            # (L,n,J,U,r1,s,F)
+    T = np.stack(outs)                                   # (P,L,n,J,U,r1,s,F)
+    T = np.transpose(T, (2, 0, 1, 7, 3, 5, 4, 6))
+    T = T.reshape(n, len(ctx.primes), L, F, J * R, U * R)
+    lo = ((T + 128) % 256) - 128
+    hi = (T - lo) >> 8
+    T8 = np.stack([lo, hi], axis=3).astype(np.int8)      # (n,P,L,2,F,JR,UR)
+    return NttKey(T8=jnp.asarray(T8),
+                  variance=jnp.asarray(variance, jnp.float32))
+
+
 # --------------------------------------------------------------------------
 # External product + blind rotation (XLA path)
 # --------------------------------------------------------------------------

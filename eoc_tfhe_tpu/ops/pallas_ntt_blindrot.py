@@ -1,0 +1,311 @@
+"""Fused Pallas CRT-NTT blind-rotation kernel — round-2 speed-of-light path.
+
+One ``pallas_call`` runs the full n-step blind rotation (the reference's hot
+loop #1, upstream ``tfhe_blindRotate_FFT`` — SURVEY.md §3.5) with the
+accumulator batch resident in VMEM for all n iterations and the NTT-domain
+bootstrapping key streamed from HBM.  Arithmetic is the exact mod-2^32
+CRT-NTT external product of ``ops/ntt.py`` (Nussbaumer outer-R split, one
+single-stage negacyclic NTT matmul per CRT prime, int8-limb MXU dots) — the
+fused form exists because the XLA-composed scan is HBM-bound on elementwise
+traffic between steps (round-1 VERDICT weak #1).
+
+Layout algebra — every shape was probed on the real chip
+(scripts/tpu_probe*.py); the governing rule is that Mosaic relayouts
+(reshapes that move data between the sublane and lane axes of a different
+tiling) cost ~100x a roll or a matmul, so each stage's output layout IS the
+next stage's input layout:
+
+  * acc lives as 4D (U, S, Bt, F) — coefficient X^(tR+s) of polynomial u for
+    sample b at [u, s, b, t].  Minor tile (Bt, F) = (128, 128).
+  * rotation: negacyclic extension along t ([q | -q], 2F lanes), then an
+    11-stage barrel that never changes shape: t-stages are lane rolls of the
+    4D array, s-stages are axis-1 rolls + a lane roll on the wrapped rows
+    (probe P10); per-sample bit selects broadcast over (1, 1, Bt, 1).
+  * digits scratch rows (j, s, b), lanes t — collapses (free) to the forward
+    NTT operand (J*S*Bt, F).
+  * forward NTT: one (JSB, F) @ (F, 2F) int8 dot per prime ([lo|hi] limbs
+    concatenated on lanes), then a 2D transpose + K-major lane split
+    (F, K, Bt) (probes D/P7 — the only fast lane-split orientation).
+  * pointwise: batched dot per frequency, T (F, K, 2M) x d (F, K, 2Bt) with
+    the contraction on the sublane axis — full real-MAC MXU rate (probe A).
+  * inverse: 2D@3D dot (2F, F) @ (F, 2M, Bt) per prime (probe P9) — no
+    lane-merge relayout; quadrant combines, CRT and key-limb recombination
+    all stay in (F, *, Bt), and one (F, US, Bt) -> (US, Bt, F) permute
+    (probe P12) lands the update back in acc order.
+
+Exactness: identical math to ``ops/ntt.external_product_ntt`` (same balanced
+Barrett reductions, same CRT pair, same limb recombination) — the kernel is
+bit-exact against the XLA scan path, which is itself validated against the
+independent f64 FFT oracle (tests/test_reference_oracle.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import GateBootstrappingParams
+from . import ntt
+
+_I32 = jnp.int32
+_I8 = jnp.int8
+
+
+def prepare_kernel_key(key: ntt.NttKey, ctx: ntt.NttContext) -> jax.Array:
+    """NttKey T8 (n, P, L, 2, F, JR, UR) -> kernel layout
+    (n, P, F, K=J*R, 2*L*U*R) int8 with M ordered (limb, l, u, s)."""
+    n, P, L, two, F, JR, UR = key.T8.shape
+    assert two == 2
+    x = jnp.transpose(key.T8, (0, 1, 4, 5, 3, 2, 6))  # (n,P,F,JR,limb,L,UR)
+    return x.reshape(n, P, F, JR, 2 * L * UR)
+
+
+def _limbs8_np(M: np.ndarray) -> np.ndarray:
+    lo = ((M + 128) % 256) - 128
+    hi = (M - lo) >> 8
+    return np.stack([lo, hi]).astype(np.int8)
+
+
+def _winv_cat_i8(ctx: ntt.NttContext) -> np.ndarray:
+    """(P, 2F, F) int8: per prime, [Winv^T lo; Winv^T hi] stacked on rows.
+
+    Rebuilt host-side from the cached number-theory plan (NOT from the
+    device arrays in ctx, which may be tracers under jit)."""
+    outs = []
+    for p in ctx.primes:
+        _, Winv = ntt._ntt_matrices_np(p, ctx.F)
+        Wi = _limbs8_np(Winv)                 # (2, F, F) limbs of Winv[f, t]
+        WiT = np.swapaxes(Wi, 1, 2)           # (2, t, f)
+        outs.append(WiT.reshape(2 * ctx.F, ctx.F))
+    return np.stack(outs).astype(np.int8)
+
+
+def _wf_cat_i8(ctx: ntt.NttContext) -> np.ndarray:
+    """(P, F, 2F) int8: per prime, [Wf lo | Wf hi] stacked on lanes."""
+    outs = []
+    for p in ctx.primes:
+        W, _ = ntt._ntt_matrices_np(p, ctx.F)
+        Wf = _limbs8_np(W)                    # (2, F, F) limbs of Wf[t, f]
+        outs.append(np.concatenate([Wf[0], Wf[1]], axis=1))
+    return np.stack(outs).astype(np.int8)
+
+
+def _bal(z, p, strict=True):
+    """Balanced Barrett reduction (see ops/ntt.balanced_reduce; |z| < 2^30.5)."""
+    zf = z.astype(jnp.float32)
+    q = jnp.round(zf * np.float32(1.0 / p)).astype(_I32)
+    r = z - q * jnp.int32(p)
+    if strict:
+        half = jnp.int32((p - 1) // 2)
+        r = r - jnp.int32(p) * (r > half).astype(_I32)
+        r = r + jnp.int32(p) * (r < -half).astype(_I32)
+    return r
+
+
+def _split8(x):
+    lo = (((x + 128) & 255) - 128)
+    hi = (x - lo) >> 8
+    return lo.astype(_I8), hi.astype(_I8)
+
+
+def blind_rotate_ntt_pallas(acc0: jax.Array, bara: jax.Array,
+                            T8k: jax.Array, ctx: ntt.NttContext,
+                            params: GateBootstrappingParams,
+                            block_b: int = 128,
+                            interpret: bool | None = None) -> jax.Array:
+    """Fused NTT blind rotation.
+
+    Args:
+      acc0: (B, k+1, N) int32 initial accumulator (natural coeff order).
+      bara: (n, B) int32 rotation amounts in [0, 2N).
+      T8k:  (n, P, F, J*R, 2*L*(k+1)*R) int8 from :func:`prepare_kernel_key`.
+    Returns (B, k+1, N) int32.
+    """
+    B, U, N = acc0.shape
+    n, P, F, K, M2 = T8k.shape
+    R, L = ctx.R, ctx.key_limbs
+    S = R
+    tg = params.tgsw_params
+    J, tgl = tg.kpl, tg.l
+    M = L * U * R
+    US = U * S
+    assert F == ctx.F and K == J * R and M2 == 2 * M and N == R * F
+    assert P == len(ctx.primes)
+    sbits = max((R - 1).bit_length(), 0)       # stages moving the subpoly index
+
+    if interpret is None:
+        mosaic_ok = (F % 128 == 0 and B % 128 == 0)
+        interpret = jax.default_backend() != "tpu" or not mosaic_ok
+    Bt = min(block_b, B) if not interpret else B
+    assert B % Bt == 0
+    n_btiles = B // Bt
+
+    primes = ctx.primes
+    c16 = [int(ntt._balanced_np(np.int64(1 << 16), p)) for p in primes]
+    p1, p2 = primes
+    crt_inv = int(ntt._balanced_np(np.int64(pow(p1, p2 - 2, p2)), p2))
+    kbits = ctx.key_limb_bits
+
+    Wf = jnp.asarray(_wf_cat_i8(ctx))      # (P, F, 2F)
+    Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
+
+    def kernel(bara_ref, acc0_ref, T_ref, wf_ref, wi_ref, out_ref,
+               acc, digits):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = acc0_ref[:]
+
+        bara_i = bara_ref[0]                            # (Bt, 1) int32 in [0,2N)
+
+        # ---- rotation: d = X^a * acc - acc.  a = a_s + R*a_t factors into
+        # commuting monomials: X^{a_s} (subpoly shift, sbits barrel stages)
+        # and Z^{a_t} (inner-ring rotation, ONE signed-one-hot MXU matmul —
+        # the 8 elementwise t-barrel stages were the kernel's dominant cost).
+        a = acc[:]                                      # (U, S, Bt, F)
+        ext = jnp.concatenate([a, -a], axis=-1)         # (U, S, Bt, 2F)
+        srow = jax.lax.broadcasted_iota(_I32, (1, S, 1, 1), 1)
+        for k in range(sbits):
+            take = ((bara_i >> k) & 1).reshape(1, 1, Bt, 1)
+            sh = 1 << k
+            r1 = jnp.roll(ext, sh, axis=1)
+            r2 = jnp.roll(r1, 1, axis=-1)               # Z-twist on wrapped rows
+            rolled = jnp.where(srow < sh, r2, r1)
+            ext = ext + take * (rolled - ext)
+        y = ext[..., :F]                                # X^{a_s} * acc
+
+        # Z^{a_t}: rotated[..., c] = sum_j y[..., j] * Mt[b, j, c] where
+        # Mt = +1 at (c - j - a_t) mod 2F == 0, -1 at == F (Z^F = -1).
+        at = (bara_i >> sbits).reshape(Bt, 1, 1)        # [0, 2F)
+        cidx = jax.lax.broadcasted_iota(_I32, (1, F, F), 2)
+        jidx = jax.lax.broadcasted_iota(_I32, (1, F, F), 1)
+        dmat = (cidx - jidx - at) & jnp.int32(2 * F - 1)
+        Mt = ((dmat == 0).astype(_I8) - (dmat == jnp.int32(F)).astype(_I8))
+
+        l0 = (((y + 128) & 255) - 128)
+        y1 = (y - l0) >> 8
+        l1 = (((y1 + 128) & 255) - 128)
+        y2 = (y1 - l1) >> 8
+        l2 = (((y2 + 128) & 255) - 128)
+        l3 = (y2 - l2) >> 8
+        ys = jnp.stack([l0, l1, l2, l3]).astype(_I8)    # (4, U, S, Bt, F)
+        ys = ys.reshape(4 * U * S, Bt, F)
+        zr = jax.lax.dot_general(ys, Mt, (((2,), (1,)), ((1,), (0,))),
+                                 preferred_element_type=_I32)  # (Bt, 4US, F)
+        z = (zr[:, :US] + (zr[:, US:2 * US] << 8)
+             + (zr[:, 2 * US:3 * US] << 16)
+             + (zr[:, 3 * US:] << 24)).astype(_I32)     # (Bt, US, F)
+        rot = jnp.transpose(z, (1, 0, 2)).reshape(U, S, Bt, F)
+        d = rot - a                                     # (U, S, Bt, F)
+
+        # ---- gadget decomposition, digits rows (j, s, b) ----
+        du = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
+        for u in range(U):
+            for li in range(tgl):
+                dig = ((du[u] >> jnp.uint32(32 - (li + 1) * tg.Bgbit))
+                       & jnp.uint32(tg.maskMod)).astype(_I32) - jnp.int32(tg.halfBg)
+                digits[u * tgl + li] = dig.astype(_I8)  # (S, Bt, F)
+
+        x8 = digits[:].reshape(J * S * Bt, F)           # rows (j, s, b)
+
+        # ---- per prime: fwd NTT -> transpose -> pointwise -> inverse ----
+        vp = []
+        for pi in range(P):
+            p = primes[pi]
+            z = jax.lax.dot_general(
+                x8, wf_ref[pi], (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32)            # (JSB, 2F) [lo|hi]
+            dhat = _bal(z[:, :F] + (z[:, F:] << 8), p)  # (JSB, F)
+            dh = dhat.T.reshape(F, K, Bt)               # K-major lane split
+            lo, hi = _split8(dh)
+            d8 = jnp.concatenate([lo, hi], axis=2)      # (F, K, 2Bt)
+
+            # batched pointwise: T (F, K, 2M) x d (F, K, 2Bt) -> (F, 2M, 2Bt)
+            zz = jax.lax.dot_general(
+                T_ref[0, pi], d8, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)
+            P00 = zz[:, :M, :Bt]
+            P01 = zz[:, M:, :Bt]
+            P10 = zz[:, :M, Bt:]
+            P11 = zz[:, M:, Bt:]
+            chat = _bal(P00 + (_bal(P01 + P10, p) << 8)
+                        + _bal(P11, p) * jnp.int32(c16[pi]), p)  # (F, M, Bt)
+
+            clo, chi = _split8(chat)
+            c8 = jnp.concatenate([clo, chi], axis=1)    # (F, 2M, Bt)
+
+            # inverse NTT: (2F, F) @ (F, 2M, Bt) — 2D@3D, no relayout
+            q = jax.lax.dot_general(
+                wi_ref[pi], c8, (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32)            # (2F, 2M, Bt)
+            Q00 = q[:F, :M]
+            Q01 = q[:F, M:]
+            Q10 = q[F:, :M]
+            Q11 = q[F:, M:]
+            vp.append(_bal(Q00 + (_bal(Q01 + Q10, p) << 8)
+                           + _bal(Q11, p) * jnp.int32(c16[pi]), p))  # (F, M, Bt)
+
+        # ---- CRT + key-limb recombination + accumulate ----
+        t = _bal((vp[1] - vp[0]) * jnp.int32(crt_inv), p2)
+        V = (vp[0] + t * jnp.int32(p1)).astype(_I32)    # (F, M, Bt) exact
+        out_t = V[:, :US, :]
+        for li in range(1, L):
+            out_t = (out_t
+                     + (V[:, li * US:(li + 1) * US, :]
+                        << jnp.int32(kbits * li))).astype(_I32)     # (F, US, Bt)
+        upd = jnp.transpose(out_t, (1, 2, 0))           # (US, Bt, F) — P12
+        acc[:] = (acc[:] + upd.reshape(U, S, Bt, F)).astype(_I32)
+
+        @pl.when(i == n - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    # ---- host-side plumbing ----
+    # natural (B, U, N) -> (U, S, B, F): N index m = t*R + s
+    def to_perm(x):
+        x4 = x.reshape(B, U, F, S)
+        return jnp.transpose(x4, (1, 3, 0, 2))          # (U, S, B, F)
+
+    def from_perm(y):  # (U, S, B, F) -> (B, U, N)
+        y4 = jnp.transpose(y, (2, 0, 3, 1))             # (B, U, F, S)
+        return y4.reshape(B, U, N)
+
+    acc0p = to_perm(acc0)
+
+    flops = 2 * n * B * (K * F * 2 * F + 2 * F * K * 2 * M + 2 * F * F * 2 * M)
+    grid = (n_btiles, n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((U, S, B, F), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Bt, 1), lambda bt, i: (i, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, S, Bt, F), lambda bt, i: (0, 0, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, F, K, 2 * M), lambda bt, i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, F, 2 * F), lambda bt, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((U, S, Bt, F), lambda bt, i: (0, 0, bt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((U, S, Bt, F), jnp.int32),         # acc
+            pltpu.VMEM((J, S, Bt, F), jnp.int8),          # digits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=T8k.size,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(bara.astype(jnp.int32)[..., None], acc0p, T8k, Wf, Wi)
+    return from_perm(out)

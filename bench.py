@@ -47,6 +47,7 @@ def main() -> None:
     # Keygen with a disk cache (VERDICT r1 item 6): the keyset round-trips
     # byte-exactly through the tfhe_io codec, so cache the exported blob.
     cache_dir = os.environ.get("EOC_KEY_CACHE", "/root/.eoc_key_cache")
+    os.environ.setdefault("EOC_NTT_KEY_CACHE", cache_dir)
     cache_path = os.path.join(cache_dir, f"keyset-{which}-seed0.bin")
     t0 = time.time()
     keyset = None
@@ -71,7 +72,8 @@ def main() -> None:
             print(f"# key cache write failed: {e}", file=sys.stderr)
     if form == "ntt":
         ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
-        jax.block_until_ready(ek.bk_ntt.T8)
+        jax.block_until_ready(ek.bk_ntt_kernel if ek.bk_ntt_kernel is not None
+                              else ek.bk_ntt.T8)
     elif form in ("fused", "chunked"):
         ek = bootstrap.prepare_eval_key_fused(keyset.cloud, limbs=limbs)
         jax.block_until_ready(ek.bk_compact)

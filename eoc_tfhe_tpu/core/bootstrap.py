@@ -20,6 +20,7 @@ TPU-native re-implementation of upstream ``lwe-bootstrapping-functions[-fft].cpp
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -54,6 +55,10 @@ class EvalKey:
     # count of the Toeplitz paths — the default fast path.
     bk_ntt: object | None = None       # ops.ntt.NttKey
     ntt_ctx: object | None = None      # ops.ntt.NttContext
+    # Optional kernel-layout NTT key for the fused Pallas blind rotation
+    # ((n, P, F, J*R, 2*L*(k+1)*R) int8 — ops/pallas_ntt_blindrot).  When set
+    # it takes precedence over bk_ntt; batches are padded to the kernel tile.
+    bk_ntt_kernel: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -92,22 +97,61 @@ def prepare_eval_key_chunked(cloud: CloudKeySet,
 
 
 def prepare_eval_key_ntt(cloud: CloudKeySet,
-                         params: GateBootstrappingParams) -> EvalKey:
+                         params: GateBootstrappingParams,
+                         kernel: str | bool = "auto") -> EvalKey:
     """Evaluation key in CRT-NTT form (``ops/ntt.py``) — the fast exact path.
 
     The analog of the reference's FFT-converted ``LweBootstrappingKeyFFT``
     (upstream ``tfhe_createLweBootstrappingKey`` FFT conversion): the TGSW
     rows are limb-split, negacyclic-NTT'd per CRT prime, and expanded into
     the outer-twisted contraction tensor consumed by the hot loop.
+
+    ``kernel``: store the key in the fused Pallas kernel layout instead of
+    the XLA-scan layout.  "auto" enables it on TPU when the inner NTT length
+    is a full lane tile (F % 128 == 0 — Mosaic requirement); the two layouts
+    hold identical bytes permuted, and the two consumers are bit-exact
+    against each other (tests/test_pallas_ntt.py).
     """
-    from ..ops import ntt
+    from ..ops import ntt, pallas_ntt_blindrot
     ek = prepare_eval_key(cloud)
     ctx = ntt.context_for_params(params)
     ek.ntt_ctx = ctx
+    if kernel == "auto":
+        kernel = jax.default_backend() == "tpu" and ctx.F % 128 == 0
+
+    # Optional disk cache of the prepared form, keyed by the raw TGSW rows
+    # (key prep is deterministic): EOC_NTT_KEY_CACHE=<dir>.
+    cache_path = None
+    cache_dir = os.environ.get("EOC_NTT_KEY_CACHE")
+    if cache_dir:
+        import hashlib
+        bk_np = np.asarray(ek.bk_rows)
+        h = hashlib.sha1(bk_np.tobytes()).hexdigest()[:16]
+        form = "kern" if kernel else "scan"
+        cache_path = os.path.join(cache_dir, f"ntt-{form}-{h}.npy")
+        if os.path.exists(cache_path):
+            T8c = np.load(cache_path)
+            if kernel:
+                ek.bk_ntt_kernel = jnp.asarray(T8c)
+            else:
+                ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c),
+                                       variance=ek.bk_variance)
+            return ek
+
     # Host-side build: bit-identical to the jitted device build but needs no
     # XLA compile (key prep is one-time; compile latency dominated it).
-    ek.bk_ntt = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
-                                       variance=float(ek.bk_variance))
+    key_np = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
+                                    variance=float(ek.bk_variance),
+                                    as_numpy=True)
+    if kernel:
+        T8c = pallas_ntt_blindrot.prepare_kernel_key_np(key_np.T8)
+        ek.bk_ntt_kernel = jnp.asarray(T8c)
+    else:
+        T8c = key_np.T8
+        ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c), variance=key_np.variance)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(cache_path, T8c)
     return ek
 
 
@@ -170,7 +214,24 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
-    if ek.bk_ntt is not None:
+    if ek.bk_ntt_kernel is not None:
+        from ..ops import pallas_ntt_blindrot
+        batch_shape = ct.b.shape
+        B = int(np.prod(batch_shape)) if batch_shape else 1
+        acc0_f = acc0.reshape((B, k + 1, N))
+        bara_f = jnp.moveaxis(bara.reshape((B, params.n)), -1, 0)   # (n, B)
+        # Mosaic tiles the batch in blocks of 128; pad and slice back.  The
+        # pad rows rotate zeros — well-defined and discarded.
+        pad = (-B) % 128 if jax.default_backend() == "tpu" else 0
+        if pad:
+            acc0_f = jnp.concatenate(
+                [acc0_f, jnp.zeros((pad, k + 1, N), jnp.int32)], axis=0)
+            bara_f = jnp.concatenate(
+                [bara_f, jnp.zeros((params.n, pad), jnp.int32)], axis=1)
+        acc = pallas_ntt_blindrot.blind_rotate_ntt_pallas(
+            acc0_f, bara_f, ek.bk_ntt_kernel, ek.ntt_ctx, params)
+        acc = acc[:B].reshape(batch_shape + (k + 1, N))
+    elif ek.bk_ntt is not None:
         from ..ops import ntt
         batch_shape = ct.b.shape
         B = int(np.prod(batch_shape)) if batch_shape else 1

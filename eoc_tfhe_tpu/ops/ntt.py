@@ -419,12 +419,14 @@ def prepare_key_ntt(bk_rows: jax.Array, ctx: NttContext,
 
 
 def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
-                       variance: float = 0.0) -> NttKey:
+                       variance: float = 0.0,
+                       as_numpy: bool = False) -> NttKey:
     """Host-side (numpy) :func:`prepare_key_ntt` — bit-identical output.
 
     One-time key preparation does not need a device compile; int64 numpy
     keeps every intermediate exact (|W|<=p/2, residues < 2^16, F<=128 =>
-    products < 2^38 << 2^63).
+    products < 2^38 << 2^63).  ``as_numpy=True`` keeps T8 on the host (for
+    callers that only want a relayout of it, e.g. the Pallas kernel form).
     """
     bk = np.asarray(bk_rows)
     n, J, U, N = bk.shape
@@ -446,7 +448,11 @@ def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
     outs = []
     for p in ctx.primes:
         W, _ = _ntt_matrices_np(p, F)                    # (F, F) balanced
-        bhat = _balanced_np(sub @ W, p)                  # (L, n, J, U, R, F)
+        # f64 matmul is exact here (|sub| <= 2^10+1, |W| <= p/2 < 2^15,
+        # F <= 128 => |sum| < 2^32 << 2^53) and hits BLAS; the int64 path
+        # has no BLAS kernel and is ~100x slower at n=630.
+        prod = sub.astype(np.float64) @ W.astype(np.float64)
+        bhat = _balanced_np(prod.astype(np.int64), p)    # (L, n, J, U, R, F)
         psi = _root_of_unity(p, 2 * F)
         om = _balanced_np(np.array([pow(psi, 2 * f + 1, p)
                                     for f in range(F)], dtype=np.int64), p)
@@ -465,7 +471,7 @@ def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
     lo = ((T + 128) % 256) - 128
     hi = (T - lo) >> 8
     T8 = np.stack([lo, hi], axis=3).astype(np.int8)      # (n,P,L,2,F,JR,UR)
-    return NttKey(T8=jnp.asarray(T8),
+    return NttKey(T8=T8 if as_numpy else jnp.asarray(T8),
                   variance=jnp.asarray(variance, jnp.float32))
 
 

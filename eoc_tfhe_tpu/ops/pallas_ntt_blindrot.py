@@ -63,6 +63,15 @@ def prepare_kernel_key(key: ntt.NttKey, ctx: ntt.NttContext) -> jax.Array:
     return x.reshape(n, P, F, JR, 2 * L * UR)
 
 
+def prepare_kernel_key_np(T8: np.ndarray) -> np.ndarray:
+    """Host-side :func:`prepare_kernel_key` on a numpy T8 — avoids staging the
+    ~0.7 GB scan-layout key on device when only the kernel layout is needed."""
+    n, P, L, two, F, JR, UR = T8.shape
+    assert two == 2
+    x = np.transpose(T8, (0, 1, 4, 5, 3, 2, 6))
+    return np.ascontiguousarray(x.reshape(n, P, F, JR, 2 * L * UR))
+
+
 def _limbs8_np(M: np.ndarray) -> np.ndarray:
     lo = ((M + 128) % 256) - 128
     hi = (M - lo) >> 8
@@ -184,7 +193,9 @@ def blind_rotate_ntt_pallas(acc0: jax.Array, bara: jax.Array,
         cidx = jax.lax.broadcasted_iota(_I32, (1, F, F), 2)
         jidx = jax.lax.broadcasted_iota(_I32, (1, F, F), 1)
         dmat = (cidx - jidx - at) & jnp.int32(2 * F - 1)
-        Mt = ((dmat == 0).astype(_I8) - (dmat == jnp.int32(F)).astype(_I8))
+        # int8 arith doesn't legalize in Mosaic; build in i32, cast once.
+        Mt = ((dmat == 0).astype(_I32)
+              - (dmat == jnp.int32(F)).astype(_I32)).astype(_I8)
 
         l0 = (((y + 128) & 255) - 128)
         y1 = (y - l0) >> 8
@@ -194,7 +205,11 @@ def blind_rotate_ntt_pallas(acc0: jax.Array, bara: jax.Array,
         l3 = (y2 - l2) >> 8
         ys = jnp.stack([l0, l1, l2, l3]).astype(_I8)    # (4, U, S, Bt, F)
         ys = ys.reshape(4 * U * S, Bt, F)
-        zr = jax.lax.dot_general(ys, Mt, (((2,), (1,)), ((1,), (0,))),
+        # Mosaic requires the batch dim at the same index on both operands;
+        # the swap is a major-dim shuffle (lanes untouched), far cheaper than
+        # the 8 elementwise barrel stages this matmul replaces.
+        ys = jnp.swapaxes(ys, 0, 1)                     # (Bt, 4US, F)
+        zr = jax.lax.dot_general(ys, Mt, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=_I32)  # (Bt, 4US, F)
         z = (zr[:, :US] + (zr[:, US:2 * US] << 8)
              + (zr[:, 2 * US:3 * US] << 16)

@@ -475,6 +475,72 @@ def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
                   variance=jnp.asarray(variance, jnp.float32))
 
 
+def prepare_kernel_key_fast_np(bk_rows: np.ndarray, ctx: NttContext) -> np.ndarray:
+    """(n, J, U, N) int32 TGSW rows -> fused-kernel key layout
+    (n, P, F, J*R, 2*L*U*R) int8 — bit-identical to
+    ``pallas_ntt_blindrot.prepare_kernel_key_np(prepare_key_ntt_np(...).T8)``
+    but ~10x faster: int32/f64 only (no int64 object math), the r1-roll/twist
+    expansion realized as a Z-shift extension + sliding-window *view* (one
+    twist multiply instead of R rolls), and a single strided transpose-copy
+    per prime.
+
+    The Z-shift identity: T[.., r1, s] = NTT(Z^{wrap} p_{(s-r1) mod R}) =
+    ext[s - r1 + R] where ext = [om * bhat | bhat] on the subpoly axis —
+    because multiplying a subpolynomial by Z is, in NTT domain, the pointwise
+    omega twist (om[f] = psi^{2f+1}).
+    """
+    bk = np.asarray(bk_rows)
+    n, J, U, N = bk.shape
+    R, F, L, bits = ctx.R, ctx.F, ctx.key_limbs, ctx.key_limb_bits
+    S = R
+    P = len(ctx.primes)
+
+    # signed limbs (base 2^bits), borrow-carried — int32 throughout
+    out, c = [], bk.astype(np.int32, copy=True)
+    base, half = 1 << bits, 1 << (bits - 1)
+    for _ in range(L - 1):
+        m = c & (base - 1)
+        borrow = (m >= half).astype(np.int32)
+        out.append((m - borrow * base).astype(np.int16))
+        c = (c >> bits) + borrow
+    out.append(c.astype(np.int16))                       # |top| <= 2^10+1
+    kl = np.stack(out)                                   # (L, n, J, U, N) i16
+    sub = np.swapaxes(kl.reshape(L, n, J, U, F, R), -1, -2)  # (L,n,J,U,R,F)
+    sub2 = sub.reshape(-1, F).astype(np.float64)
+
+    def bal_f64(z, p):
+        """Balanced z mod p for f64 z holding exact integers |z| < 2^52."""
+        q = np.rint(z * (1.0 / p))
+        return (z - q * p).astype(np.int16)              # |r| <= p/2 < 2^15
+
+    T8k = np.empty((n, P, F, J * R, 2, L, U, R), dtype=np.int8)
+    for pi, p in enumerate(ctx.primes):
+        W, _ = _ntt_matrices_np(p, F)
+        # f64 matmul exact: |sub| <= 2^10+1, |W| <= p/2 < 2^15, F <= 128
+        prod = sub2 @ W.astype(np.float64)               # |.| < 2^32 exact
+        bhat = bal_f64(prod, p).reshape(L, n, J, U, R, F)
+        psi = _root_of_unity(p, 2 * F)
+        om = np.array([pow(psi, 2 * f + 1, p) for f in range(F)], np.int64)
+        om32 = _balanced_np(om, p).astype(np.int32)
+        tw = bhat.astype(np.int32) * om32                # |.| < 2^30
+        twb = bal_f64(tw.astype(np.float64), p)
+        ext = np.concatenate([twb, bhat], axis=-2)       # (L,n,J,U,2R,F) i16
+        # windows: win[.., i, f, s] = ext[.., i + s, f]; T[r1, s] = ext[R-r1+s]
+        win = np.lib.stride_tricks.sliding_window_view(ext, R, axis=-2)
+        V = win[..., 1:R + 1, :, :][..., ::-1, :, :]     # (L,n,J,U,r1,F,s)
+        Vt = np.ascontiguousarray(
+            np.transpose(V, (1, 5, 2, 4, 0, 3, 6)))     # (n,F,J,r1,L,U,s) i16
+        # int8 limbs via byte views (little-endian): lo is the low byte as
+        # int8; hi is the high byte plus a borrow when the low byte >= 128.
+        bytes_ = Vt.reshape(-1).view(np.int8)
+        lo = bytes_[0::2].reshape(Vt.shape)
+        hib = bytes_[1::2].reshape(Vt.shape)
+        T8k[:, pi, :, :, 0] = lo.reshape(n, F, J * R, L, U, R)
+        T8k[:, pi, :, :, 1] = (hib + (lo < 0)).reshape(n, F, J * R, L, U, R)
+    return np.ascontiguousarray(
+        T8k.reshape(n, P, F, J * R, 2 * L * U * R))
+
+
 # --------------------------------------------------------------------------
 # External product + blind rotation (XLA path)
 # --------------------------------------------------------------------------

@@ -1,0 +1,319 @@
+"""Fused Pallas CRT-NTT blind rotation, v3 — relayout-free lane discipline.
+
+Round-3 rework of ``ops/pallas_ntt_blindrot.py`` (v1).  The round-2 bisect
+(scripts/tpu_bisect_ntt2.py on a real v5e) showed the v1 step time was NOT
+MXU- or DMA-bound: of ~85 us/step/tile, ~50 us was the final stage (CRT +
+limb recombine + the (F, US, Bt) -> (US, Bt, F) lane transpose + acc update)
+and ~10 us the post-forward (JSB, F) -> (F, K, Bt) transpose — i.e. the two
+per-step *relayouts* (lane identity flipping between F and Bt) cost more
+than all matmuls combined.
+
+v3 keeps **Bt on the lane axis for every tensor in the loop**, so no
+relayout ever happens:
+
+  * acc lives as (F, U, S, Bt) int32 — t-index on the major axis, (S, Bt) =
+    (8, 128) exactly one int32 tile.
+  * rotation X^a is a barrel of major/sublane rolls: log2(R) s-stages
+    (sublane roll + Z-carry), log2(F) t-stages (major roll + sign on wrap),
+    and one global negation for the Z^F = -1 bit.  No one-hot matmul, no
+    4-limb split of acc (v1 spent ~9 us/step there).
+  * gadget digits are a (F, J*S, Bt) int8 value (no scratch), fed straight
+    to the forward NTT as  Wt (2F, F) @ digits (F, K, Bt) -> (2F, K, Bt) —
+    the same 2D@3D dot form as the inverse (v1 probe P9), output already in
+    pointwise orientation.  K = J*S = J*R matches the key tensor's (j, r1)
+    contraction axis because the digit subpoly index IS r1.
+  * pointwise and inverse stages as in v1 (batched dot on F, contraction on
+    sublanes), but the limb-product recombination uses a prime pair chosen
+    so that |balanced(2^16 mod p)| is ~2^10 (default 64513, 32257, both
+    === 1 mod 256): then  P00 + 256*(P01+P10) + c16*P11  fits int32 *raw*
+    and one strict reduce replaces v1's three per stage (audit below).
+  * the update arrives as (F, U*S, Bt) — acc's own layout — so the v1 P12
+    transpose is gone.
+
+Consumes the SAME key tensor layout as v1 ((n, P, F, J*R, 2*L*U*R) int8
+from ``prepare_kernel_key[_np]``), so key preparation is shared; only the
+NttContext (primes) differs by default.
+
+Overflow audit (int32, K the contraction width, |int8 limb| <= 128):
+  fwd:       |q| <= F*64*128 = 2^20;  q_lo + 256*q_hi <= 513*2^20 = 2^29.1
+  pointwise: |P| <= K*128^2 = 786K (K=48); P00 + 512*P + c16*P
+             <= 786K*(513 + 1023) = 1.21e9 < 2^30.5 (balanced_reduce domain)
+  inverse:   |P| <= F*128^2 = 2.1M; needs ONE inner strict reduce of P11
+             (c16*2.1M alone would reach 2.15e9): P00 + 256*(P01+P10)
+             + c16*B(P11) <= 2.1M + 1.08e9 + 1023*32256 = 1.12e9  OK
+  CRT:       |r2 - r1|*|inv| <= 48K * 16128 = 7.8e8  OK; |V| < p1p2/2 < 2^31
+
+Reference: upstream ``tfhe_blindRotate_FFT`` (SURVEY.md §3.5 hot loop #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import GateBootstrappingParams
+from . import ntt
+
+_I32 = jnp.int32
+_I8 = jnp.int8
+
+#: Default prime pair for the v3 kernel: both === 1 mod 256 (so every F in
+#: {128, 64, 32} has the needed 2F-th root), both with |balanced 2^16 mod p|
+#: <= 1023 — the property that lets limb recombination skip inner reductions.
+KERNEL_PRIMES = (64513, 32257)
+
+
+def _wt_cat_i8(ctx: ntt.NttContext) -> np.ndarray:
+    """(P, 2F, F) int8: per prime, [W^T lo; W^T hi] — forward matrix in the
+    v3 2D@3D orientation (contract over t on the rhs major axis)."""
+    outs = []
+    for p in ctx.primes:
+        W, _ = ntt._ntt_matrices_np(p, ctx.F)     # W[t, f]
+        WT = W.T                                   # [f, t]
+        lo = ((WT + 128) % 256) - 128
+        hi = (WT - lo) >> 8
+        outs.append(np.concatenate([lo, hi], axis=0))   # rows [f | f+F]
+    return np.stack(outs).astype(np.int8)
+
+
+def _winv_cat_i8(ctx: ntt.NttContext) -> np.ndarray:
+    """(P, 2F, F) int8: per prime, [Winv^T lo; Winv^T hi] (as v1)."""
+    outs = []
+    for p in ctx.primes:
+        _, Winv = ntt._ntt_matrices_np(p, ctx.F)   # Winv[f, t]
+        WiT = Winv.T                                # [t, f] -> rows t
+        lo = ((WiT + 128) % 256) - 128
+        hi = (WiT - lo) >> 8
+        outs.append(np.concatenate([lo, hi], axis=0))
+    return np.stack(outs).astype(np.int8)
+
+
+def _bal(z, p, strict=True):
+    """Balanced Barrett reduction (ops/ntt.balanced_reduce; |z| < 2^30.5)."""
+    zf = z.astype(jnp.float32)
+    q = jnp.round(zf * np.float32(1.0 / p)).astype(_I32)
+    r = z - q * jnp.int32(p)
+    if strict:
+        half = jnp.int32((p - 1) // 2)
+        r = r - jnp.int32(p) * (r > half).astype(_I32)
+        r = r + jnp.int32(p) * (r < -half).astype(_I32)
+    return r
+
+
+def _split8(x):
+    lo = (((x + 128) & 255) - 128)
+    hi = (x - lo) >> 8
+    return lo.astype(_I8), hi.astype(_I8)
+
+
+def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
+                             T8k: jax.Array, ctx: ntt.NttContext,
+                             params: GateBootstrappingParams,
+                             block_b: int = 128,
+                             interpret: bool | None = None) -> jax.Array:
+    """Fused v3 NTT blind rotation.
+
+    Args:
+      acc0: (B, k+1, N) int32 initial accumulator (natural coeff order).
+      bara: (n, B) int32 rotation amounts in [0, 2N).
+      T8k:  (n, P, F, J*R, 2*L*(k+1)*R) int8 (``prepare_kernel_key`` layout,
+            built from a context whose primes match ``ctx``).
+    Returns (B, k+1, N) int32.
+    """
+    B, U, N = acc0.shape
+    n, P, F, K, M2 = T8k.shape
+    R, L = ctx.R, ctx.key_limbs
+    S = R
+    tg = params.tgsw_params
+    J, tgl = tg.kpl, tg.l
+    M = L * U * R
+    US = U * S
+    assert F == ctx.F and K == J * R and M2 == 2 * M and N == R * F
+    assert P == len(ctx.primes) == 2
+    sb = (R - 1).bit_length()          # log2 R  (s-stages)
+    fb = (F - 1).bit_length()          # log2 F  (t-stages)
+    assert R == 1 << sb and F == 1 << fb and 2 * N == 1 << (sb + fb + 1)
+
+    if interpret is None:
+        mosaic_ok = (B % 128 == 0)
+        interpret = jax.default_backend() != "tpu" or not mosaic_ok
+    Bt = min(block_b, B) if not interpret else B
+    assert B % Bt == 0
+    n_btiles = B // Bt
+
+    primes = ctx.primes
+    p1, p2 = primes
+    c16 = [int(ntt._balanced_np(np.int64(1 << 16), p)) for p in primes]
+    # Single-reduce recombination audits (see module docstring); fall back to
+    # an extra inner reduce if a caller picks large-c16 primes.
+    pw_bound = [K * 128 * 128 * (513 + abs(c)) for c in c16]
+    pw_single = [b < 2 ** 30.4 for b in pw_bound]
+    inv_bound = [F * 128 * 128 * 513 + abs(c16[i]) * ((primes[i] - 1) // 2 + 92)
+                 for i in range(P)]
+    inv_single = [b < 2 ** 31 - 2 ** 28 for b in inv_bound]
+    crt_inv = int(ntt._balanced_np(np.int64(pow(p1, p2 - 2, p2)), p2))
+    kbits = ctx.key_limb_bits
+
+    WfT = jnp.asarray(_wt_cat_i8(ctx))     # (P, 2F, F)
+    Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
+
+    def kernel(bara_ref, acc0_ref, T_ref, wf_ref, wi_ref, out_ref, acc):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = acc0_ref[:]
+
+        bara_i = bara_ref[:]                        # (1, 1, Bt) int32 [0,2N)
+
+        def bit(k):
+            return (((bara_i >> k) & 1) > 0).reshape(1, 1, 1, Bt)
+
+        # ---- rotation barrel: x = X^a * acc, a = a_t*R + a_s ----
+        a = acc[:]                                  # (F, U, S, Bt)
+        x = a
+        siota = jax.lax.broadcasted_iota(_I32, (1, 1, S, 1), 2)
+        fiota = jax.lax.broadcasted_iota(_I32, (F, 1, 1, 1), 0)
+        for k in range(sb):                         # X^{a_s}: subpoly shift
+            sh = 1 << k
+            r1 = jnp.roll(x, sh, axis=2)
+            rz = jnp.roll(r1, 1, axis=0)            # Z-carry on wrapped rows
+            rz = jnp.where(fiota < 1, -rz, rz)
+            rolled = jnp.where(siota < sh, rz, r1)
+            x = jnp.where(bit(k), rolled, x)
+        for k in range(fb):                         # Z^{a_t mod F}
+            c = 1 << k
+            r1 = jnp.roll(x, c, axis=0)
+            rolled = jnp.where(fiota < c, -r1, r1)
+            x = jnp.where(bit(sb + k), rolled, x)
+        x = jnp.where(bit(sb + fb), -x, x)          # Z^F = -1
+
+        d = (x - a).astype(_I32)                    # (F, U, S, Bt)
+
+        # ---- gadget decomposition -> (F, J*S, Bt) int8, rows (j, s) ----
+        du = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
+        pieces = []
+        for u in range(U):
+            for li in range(tgl):
+                dig = ((du[:, u] >> jnp.uint32(32 - (li + 1) * tg.Bgbit))
+                       & jnp.uint32(tg.maskMod)).astype(_I32) - jnp.int32(tg.halfBg)
+                pieces.append(dig)                  # (F, S, Bt)
+        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, K, Bt)
+
+        # ---- per prime: fwd NTT -> pointwise -> inverse, Bt on lanes ----
+        vp = []
+        for pi in range(P):
+            p = primes[pi]
+            q = jax.lax.dot_general(
+                wf_ref[pi], x8, (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32)        # (2F, K, Bt)
+            dhat = _bal(q[:F] + (q[F:] << 8), p)    # (F, K, Bt) strict
+            lo, hi = _split8(dhat)
+            d8 = jnp.concatenate([lo, hi], axis=2)  # (F, K, 2Bt)
+
+            zz = jax.lax.dot_general(
+                T_ref[0, pi], d8, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)        # (F, 2M, 2Bt)
+            P00 = zz[:, :M, :Bt]
+            P01 = zz[:, M:, :Bt]
+            P10 = zz[:, :M, Bt:]
+            P11 = zz[:, M:, Bt:]
+            if pw_single[pi]:
+                chat = _bal(P00 + ((P01 + P10) << 8)
+                            + P11 * jnp.int32(c16[pi]), p)
+            else:
+                chat = _bal(P00 + (_bal(P01 + P10, p) << 8)
+                            + _bal(P11, p) * jnp.int32(c16[pi]), p)
+
+            clo, chi = _split8(chat)
+            c8 = jnp.concatenate([clo, chi], axis=1)     # (F, 2M, Bt)
+            qv = jax.lax.dot_general(
+                wi_ref[pi], c8, (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32)        # (2F, 2M, Bt)
+            Q00 = qv[:F, :M]
+            Q01 = qv[:F, M:]
+            Q10 = qv[F:, :M]
+            Q11 = qv[F:, M:]
+            if inv_single[pi]:
+                vp.append(_bal(Q00 + ((Q01 + Q10) << 8)
+                               + _bal(Q11, p, strict=False)
+                               * jnp.int32(c16[pi]), p))
+            else:
+                vp.append(_bal(Q00 + (_bal(Q01 + Q10, p) << 8)
+                               + _bal(Q11, p) * jnp.int32(c16[pi]), p))
+
+        # ---- CRT + key-limb recombination + accumulate ----
+        t = _bal((vp[1] - vp[0]) * jnp.int32(crt_inv), p2)
+        V = (vp[0] + t * jnp.int32(p1)).astype(_I32)     # (F, M, Bt) exact
+        out_t = V[:, :US, :]
+        for li in range(1, L):
+            out_t = (out_t
+                     + (V[:, li * US:(li + 1) * US, :]
+                        << jnp.int32(kbits * li))).astype(_I32)  # (F, US, Bt)
+        acc[:] = (acc[:] + out_t.reshape(F, U, S, Bt)).astype(_I32)
+
+        @pl.when(i == n - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    # ---- host-side plumbing: natural (B, U, N) <-> (F, U, S, B) ----
+    def to_perm(x):                                  # N index m = t*R + s
+        x4 = x.reshape(B, U, F, S)
+        return jnp.transpose(x4, (2, 1, 3, 0))       # (F, U, S, B)
+
+    def from_perm(y):
+        y4 = jnp.transpose(y, (3, 1, 0, 2))          # (B, U, F, S)
+        return y4.reshape(B, U, N)
+
+    acc0p = to_perm(acc0)
+    bara3 = bara.astype(jnp.int32)[:, None, :]       # (n, 1, B)
+
+    flops = 2 * n * B * P * (2 * F * F * K + F * K * 2 * M * 2 + 2 * F * F * 2 * M)
+    grid = (n_btiles, n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((F, U, S, B), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Bt), lambda bt, i: (i, 0, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, U, S, Bt), lambda bt, i: (0, 0, 0, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, F, K, 2 * M), lambda bt, i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, U, S, Bt), lambda bt, i: (0, 0, 0, bt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((F, U, S, Bt), jnp.int32),        # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=T8k.size,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(bara3, acc0p, T8k, WfT, Wi)
+    return from_perm(out)
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_context(N: int, J: int, halfBg: int,
+                   R: int | None = None) -> ntt.NttContext:
+    """NttContext with the v3 kernel's default prime pair."""
+    return ntt.make_context(N=N, J=J, halfBg=halfBg, R=R, primes=KERNEL_PRIMES)
+
+
+def kernel_context_for_params(params: GateBootstrappingParams) -> ntt.NttContext:
+    tg = params.tgsw_params
+    return kernel_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg)

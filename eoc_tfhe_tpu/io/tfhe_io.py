@@ -23,11 +23,42 @@ Format evidence extracted from the shipped reference binary
     ``{42, 43, 169, 200, 201}``, and ``import_lweSample_fromStream``
     checks UID 42.
 
-UID assignment below: ``LWE_SAMPLE=42`` is verified (import check); the
-remaining four are assigned in table order to the remaining binary record
-types in upstream declaration order (LweKey, TLweSample, TLweKey, TGswKey).
-Revalidate against a checkout of ``tfhe/tfhe @ bc71bfae`` when network access
-allows (SURVEY.md appendix B); all layout constants live in this module only.
+UID assignment below is **verified by disassembly** of the shipped wasm
+(round-3; tooling in ``scripts/wasm_pin_codec.py``).  The UID table lives at
+memory address 352656 (five consecutive int32s ``{42, 43, 169, 200, 201}``),
+and every record write is a ``fwrite(this, &table[i], 4)`` virtual call whose
+pointer immediate pins the mapping:
+
+  * 42  LweSample — ``export_lweSample_toStream`` writes ``&table+0``
+    (code pc 904217); ``import_lweSample_fromStream`` aborts unless the read
+    UID equals 42 (pc 863?822 region).  Record: uid,a[n]i32,b i32,var f64.
+  * 43  LweKey — keyset export pc 875739; record: uid + key[n] int32 (one
+    4n-byte write, pc 875800 region).
+  * 169 TGswKey — keyset export pc 875890 (last record); uid + raw key
+    polynomial coefficients (k*N int32).
+  * 200 LweKeySwitchKey — keyset export pc 874242; record: uid,
+    max-variance f64 (max of all entry variances, computed in a triple loop
+    over the 24-byte LweSample structs at pc 873918-874212), then for
+    (i<n_in, j<t, u<base): a[n_out] int32 + b int32 (no per-sample uid/var;
+    write sites pc 874484/874541), then uid + max-variance AGAIN as a
+    trailer (pc 874662/874723 — same frame slot, same bytes).
+  * 201 LweBootstrappingKey bk — keyset export pc 875165; record: uid,
+    max-variance f64 (loop over 32-byte TLweSample structs, variance at
+    offset 16, pc 874900-875100), then for (i<n, row<kpl, u<k+1): raw
+    polynomial coefficients (N int32 each, pc 875443/875508/875625).  No
+    trailer.
+
+Keyset record order (pinned by the emscripten EH labels 52..99, which
+increment in execution order): GATEBOOTSPARAMS, LWEPARAMS, TLWEPARAMS,
+TGSWPARAMS text sections; LWEKSPARAMS text + keyswitch record (200);
+bootstrapping-key record (201); LweKey (43); TGswKey (169).
+
+SSO-inlined short property keys (invisible to a string scan) recovered from
+the i32 char constants + length pairs at the ``setProperty`` call sites:
+LWEPARAMS {``n``(110), alpha_min, alpha_max}; TLWEPARAMS {``N``(78),
+``k``(107), alpha_min, alpha_max}; TGSWPARAMS {``l``(108), Bgbit};
+LWEKSPARAMS {``n``(110), ``t``(116), ``basebit``}; GATEBOOTSPARAMS
+{``ks_t``(len-4 SSO), ``ks_basebit``} — all matching this module's writers.
 """
 
 from __future__ import annotations
@@ -42,13 +73,21 @@ from ..core.params import (GateBootstrappingParams, KeySwitchParams, LweParams,
                            TGswParams, TLweParams)
 from .. import native
 
-# Verified: import_lweSample_fromStream checks 42.
+# All five verified from the wasm UID table at mem 352656 + the fwrite
+# pointer immediates at each record-write site (module docstring).
 LWE_SAMPLE_UID = 42
-# Reconstructed (table order; see module docstring).
 LWE_KEY_UID = 43
+TGSW_KEY_UID = 169
+KEYSWITCH_KEY_UID = 200
+BOOTSTRAP_KEY_UID = 201
+# Internal-only bulk TLweSample array records (sharded native key format,
+# native codec fast path).  NOT part of the reference keyset format — the
+# reference writes bk polynomials raw inside the 201 record; upstream's
+# TLweSample UID is dead-code-eliminated from the artifact and unknowable
+# from it.  The value collides with TGSW_KEY_UID by historical accident but
+# the two record types never appear in the same stream.
 TLWE_SAMPLE_UID = 169
 TLWE_KEY_UID = 200
-TGSW_KEY_UID = 201
 
 _I32 = struct.Struct("<i")
 _F64 = struct.Struct("<d")
@@ -303,62 +342,78 @@ def unpack_tlwe_samples(data: bytes, B: int, m: int):
 
 def write_keyswitch_key(f, ks_packed: np.ndarray, variance: float,
                         basebit: int) -> None:
-    """LWEKSPARAMS section + the n_in*t*base LWE samples in index order."""
+    """LWEKSPARAMS section + the UID-200 composite record.
+
+    Wasm-pinned layout (module docstring): uid, max-variance f64, then per
+    (i, j, u) the raw ``a[n_out] + b`` int32s — which is exactly one packed
+    row — then uid + max-variance again as a trailer.  The samples blob is
+    therefore a single contiguous dump of the packed table.
+    """
     n_in, t, base, m = ks_packed.shape
     write_section(f, "LWEKSPARAMS", {"n": n_in, "t": t, "basebit": basebit})
-    flat = np.ascontiguousarray(ks_packed.reshape(-1, m))
-    var = np.full(flat.shape[0], float(variance))
-    f.write(pack_lwe_samples(flat[:, :-1], flat[:, -1], var))
+    f.write(_I32.pack(KEYSWITCH_KEY_UID))
+    f.write(_F64.pack(float(variance)))
+    f.write(np.ascontiguousarray(ks_packed, "<i4").tobytes())
+    f.write(_I32.pack(KEYSWITCH_KEY_UID))
+    f.write(_F64.pack(float(variance)))
 
 
 def read_keyswitch_key(f, n_out: int):
     _, pr = read_section(f, "LWEKSPARAMS")
     n_in, t, basebit = int(pr["n"]), int(pr["t"]), int(pr["basebit"])
     base = 1 << basebit
-    B = n_in * t * base
-    a, b, var = unpack_lwe_samples(f.read(B * lwe_sample_num_bytes(n_out)),
-                                   B, n_out)
-    rows = np.concatenate([a, b[:, None]], axis=1).astype(np.int32)
-    return (rows.reshape(n_in, t, base, n_out + 1),
-            float(var[-1]) if B else 0.0, basebit)
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != KEYSWITCH_KEY_UID:
+        raise ValueError(f"bad LweKeySwitchKey UID {uid}")
+    (var,) = _F64.unpack(f.read(8))
+    B = n_in * t * base * (n_out + 1)
+    rows = np.frombuffer(f.read(4 * B), "<i4").copy()
+    (uid2,) = _I32.unpack(f.read(4))
+    (var2,) = _F64.unpack(f.read(8))
+    if uid2 != KEYSWITCH_KEY_UID or var2 != var:
+        raise ValueError("bad LweKeySwitchKey trailer")
+    return (rows.reshape(n_in, t, base, n_out + 1).astype(np.int32),
+            var, basebit)
 
 
 def write_bootstrapping_key(f, bk_rows: np.ndarray, bk_variance: float,
                             ks_packed: np.ndarray, ks_variance: float,
                             basebit: int) -> None:
-    """n TGSW samples (each kpl TLWE samples) + the keyswitch key."""
-    n, kpl, kp1, N = bk_rows.shape
-    flat = np.ascontiguousarray(bk_rows.reshape(n * kpl, kp1, N))
-    var = np.full(n * kpl, float(bk_variance))
-    f.write(pack_tlwe_samples(flat, var))
+    """Keyswitch key (LWEKSPARAMS + UID 200) then the UID-201 bk record:
+    uid, max-variance f64, raw polynomial coefficients (wasm-pinned order)."""
     write_keyswitch_key(f, ks_packed, ks_variance, basebit)
+    f.write(_I32.pack(BOOTSTRAP_KEY_UID))
+    f.write(_F64.pack(float(bk_variance)))
+    f.write(np.ascontiguousarray(bk_rows, "<i4").tobytes())
 
 
 def read_bootstrapping_key(f, n: int, params: GateBootstrappingParams):
     tg = params.tgsw_params
     kpl, k, N = tg.kpl, tg.tlwe_params.k, tg.tlwe_params.N
-    B, m = n * kpl, (k + 1) * N
-    polys, var = unpack_tlwe_samples(f.read(B * (4 + 4 * m + 8)), B, m)
-    bk = polys.reshape(n, kpl, k + 1, N)
-    bk_var = float(var[-1]) if B else 0.0
     ks, ks_var, _ = read_keyswitch_key(f, params.n)
-    return bk, bk_var, ks, ks_var
+    (uid,) = _I32.unpack(f.read(4))
+    if uid != BOOTSTRAP_KEY_UID:
+        raise ValueError(f"bad LweBootstrappingKey UID {uid}")
+    (bk_var,) = _F64.unpack(f.read(8))
+    m = n * kpl * (k + 1) * N
+    bk = np.frombuffer(f.read(4 * m), "<i4").copy().reshape(n, kpl, k + 1, N)
+    return bk.astype(np.int32), bk_var, ks, ks_var
 
 
 def export_secret_keyset(keyset, params: GateBootstrappingParams) -> bytes:
     """``export_tfheGateBootstrappingSecretKeySet_toStream``.
 
-    Order: parameter sections, LweKey, TGswKey, bootstrapping key (bk rows +
-    keyswitch key).
+    Wasm-pinned order: parameter sections, keyswitch key (LWEKSPARAMS +
+    UID 200), bootstrapping key (UID 201), LweKey (43), TGswKey (169).
     """
     f = _io.BytesIO()
     write_gate_params(f, params)
-    write_lwe_key(f, np.asarray(keyset.lwe_key.s))
-    write_tgsw_key(f, np.asarray(keyset.tgsw_key.key))
     bk = keyset.cloud.bk
     write_bootstrapping_key(f, np.asarray(bk.bk), float(bk.bk_variance),
                             np.asarray(bk.ks.ks), float(bk.ks.variance),
                             params.ks.basebit)
+    write_lwe_key(f, np.asarray(keyset.lwe_key.s))
+    write_tgsw_key(f, np.asarray(keyset.tgsw_key.key))
     return f.getvalue()
 
 
@@ -372,9 +427,9 @@ def import_secret_keyset(data: bytes):
 
     f = _io.BytesIO(data)
     params = read_gate_params(f)
+    bk, bk_var, ks, ks_var = read_bootstrapping_key(f, params.n, params)
     s = read_lwe_key(f, params.n)
     tk = read_tgsw_key(f, params.k, params.N)
-    bk, bk_var, ks, ks_var = read_bootstrapping_key(f, params.n, params)
     keyset = SecretKeySet(
         lwe_key=LweKey(s=jnp.asarray(s)),
         tgsw_key=TLweKey(key=jnp.asarray(tk)),

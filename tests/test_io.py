@@ -142,3 +142,26 @@ def test_golden_secret_keyset_bytes():
     ks2, params2 = tfhe_io.import_secret_keyset(blob)
     np.testing.assert_array_equal(np.asarray(ks2.lwe_key.s),
                                   np.asarray(ks.lwe_key.s))
+
+
+def test_wasm_pinned_uid_table_and_order():
+    """The five record UIDs and the keyset record order are pinned by
+    disassembly of the reference wasm (scripts/wasm_pin_codec.py): UID table
+    {42,43,169,200,201} at mem 352656; fwrite pointer immediates map them to
+    LweSample/LweKey/TGswKey/KeySwitchKey/BootstrappingKey respectively."""
+    assert tfhe_io.LWE_SAMPLE_UID == 42
+    assert tfhe_io.LWE_KEY_UID == 43
+    assert tfhe_io.TGSW_KEY_UID == 169
+    assert tfhe_io.KEYSWITCH_KEY_UID == 200
+    assert tfhe_io.BOOTSTRAP_KEY_UID == 201
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(7), P)
+    blob = tfhe_io.export_secret_keyset(ks, P)
+    # After the 5 text sections comes the UID-200 ks record; the stream ends
+    # with the LweKey (43) then TGswKey (169) records.
+    i = blob.index(b"-----END LWEKSPARAMS-----\n") + len(
+        b"-----END LWEKSPARAMS-----\n")
+    assert blob[i:i + 4] == (200).to_bytes(4, "little")
+    n, N, k = P.n, P.N, P.k
+    tail = 4 + 4 * n + 4 + 4 * k * N
+    assert blob[-tail:-tail + 4] == (43).to_bytes(4, "little")
+    assert blob[-(4 + 4 * k * N):-(4 * k * N)] == (169).to_bytes(4, "little")

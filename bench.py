@@ -46,8 +46,10 @@ def main() -> None:
 
     # Keygen with a disk cache (VERDICT r1 item 6): the keyset round-trips
     # byte-exactly through the tfhe_io codec, so cache the exported blob.
+    # Keyset blob cache; the (multi-hundred-MB) prepared-NTT-key cache is
+    # opt-in via its own env var EOC_NTT_KEY_CACHE (round-2 ADVICE: don't
+    # default it on — the prepared form now rebuilds in ~35 s host-side).
     cache_dir = os.environ.get("EOC_KEY_CACHE", "/root/.eoc_key_cache")
-    os.environ.setdefault("EOC_NTT_KEY_CACHE", cache_dir)
     cache_path = os.path.join(cache_dir, f"keyset-{which}-seed0.bin")
     t0 = time.time()
     keyset = None

@@ -37,11 +37,25 @@ from ..ops import polymul, rotate
 from ..ops.keyswitch import prepare_keyswitch_matmul, keyswitch_apply
 
 
+#: Valid EvalKey fast-path forms, in dispatch-precedence order (VERDICT r2
+#: item 10 — one explicit form instead of four optional fields with implicit
+#: precedence).
+EVAL_KEY_FORMS = ("ntt_kernel", "ntt_scan", "compact", "rows")
+
+#: Kernel-key layout version — bump when the fused kernel's key layout or
+#: its NTT plan encoding changes, so stale disk caches can never load
+#: (round-2 ADVICE medium finding).
+KERNEL_KEY_LAYOUT_VERSION = 3
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EvalKey:
     """Device-prepared evaluation key (the analog of the reference's
-    ``LweBootstrappingKeyFFT`` — precomputed fast-path form of the cloud keys)."""
+    ``LweBootstrappingKeyFFT`` — precomputed fast-path form of the cloud keys).
+
+    Exactly one fast-path form is active, named by ``form``; the matching
+    field is non-None (validated by :func:`_check_eval_key`)."""
 
     bk_rows: jax.Array      # (n, kpl, k+1, N) int32 TGSW rows
     bk_variance: jax.Array  # () float32
@@ -52,24 +66,42 @@ class EvalKey:
     # blocks are built inside the kernel.
     bk_compact: jax.Array | None = None
     # Optional CRT-NTT form (ops/ntt.py): exact mod 2^32 at ~1/6 the MAC
-    # count of the Toeplitz paths — the default fast path.
+    # count of the Toeplitz paths.
     bk_ntt: object | None = None       # ops.ntt.NttKey
     ntt_ctx: object | None = None      # ops.ntt.NttContext
     # Optional kernel-layout NTT key for the fused Pallas blind rotation
-    # ((n, P, F, J*R, 2*L*(k+1)*R) int8 — ops/pallas_ntt_blindrot).  When set
-    # it takes precedence over bk_ntt; batches are padded to the kernel tile.
+    # ((n, P, F, J*R, 2*L*(k+1)*R) int8 — ops/pallas_ntt_blindrot2).  Batches
+    # are padded to the kernel tile.
     bk_ntt_kernel: jax.Array | None = None
+    #: Which fast path this key is prepared for (static metadata).
+    form: str = dataclasses.field(default="rows", metadata=dict(static=True))
 
     @property
     def n(self) -> int:
         return self.bk_rows.shape[0]
 
 
+def _check_eval_key(ek: EvalKey) -> EvalKey:
+    """Validate form/field consistency at construction time (not in a scan)."""
+    if ek.form not in EVAL_KEY_FORMS:
+        raise ValueError(f"unknown EvalKey form {ek.form!r}; "
+                         f"expected one of {EVAL_KEY_FORMS}")
+    need = {"ntt_kernel": ek.bk_ntt_kernel, "ntt_scan": ek.bk_ntt,
+            "compact": ek.bk_compact, "rows": ek.bk_rows}[ek.form]
+    if need is None:
+        raise ValueError(f"EvalKey form {ek.form!r} requires its key field")
+    if ek.form in ("ntt_kernel", "ntt_scan") and ek.ntt_ctx is None:
+        raise ValueError(f"EvalKey form {ek.form!r} requires ntt_ctx")
+    return ek
+
+
 def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
     """Standard evaluation key (per-step Toeplitz construction, low memory)."""
     bk = cloud.bk
-    return EvalKey(bk_rows=bk.bk, bk_variance=bk.bk_variance,
-                   ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks)
+    return _check_eval_key(
+        EvalKey(bk_rows=bk.bk, bk_variance=bk.bk_variance,
+                ks_prepared=prepare_keyswitch_matmul(bk.ks), ks=bk.ks,
+                form="rows"))
 
 
 def prepare_eval_key_fused(cloud: CloudKeySet, limbs: int | None = None) -> EvalKey:
@@ -84,7 +116,8 @@ def prepare_eval_key_fused(cloud: CloudKeySet, limbs: int | None = None) -> Eval
     ek = prepare_eval_key(cloud)
     ek.bk_compact = pallas_blindrot.prepare_compact_bk(
         ek.bk_rows, limbs=polymul.LIMBS if limbs is None else limbs)
-    return ek
+    ek.form = "compact"
+    return _check_eval_key(ek)
 
 
 # Back-compat alias (the chunk is now a kernel-call parameter, not baked
@@ -106,53 +139,73 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     rows are limb-split, negacyclic-NTT'd per CRT prime, and expanded into
     the outer-twisted contraction tensor consumed by the hot loop.
 
-    ``kernel``: store the key in the fused Pallas kernel layout instead of
-    the XLA-scan layout.  "auto" enables it on TPU when the inner NTT length
-    is a full lane tile (F % 128 == 0 — Mosaic requirement); the two layouts
-    hold identical bytes permuted, and the two consumers are bit-exact
-    against each other (tests/test_pallas_ntt.py).
+    ``kernel``: store the key in the fused v3 Pallas kernel layout
+    (``ops/pallas_ntt_blindrot2``, prime pair ``KERNEL_PRIMES``) instead of
+    the XLA-scan layout (``ntt.DEFAULT_PRIMES``).  "auto" enables it on TPU.
+    The two paths are bit-exact against each other (tests/test_pallas_ntt.py).
     """
-    from ..ops import ntt, pallas_ntt_blindrot
+    from ..ops import ntt, pallas_ntt_blindrot2
     ek = prepare_eval_key(cloud)
-    ctx = ntt.context_for_params(params)
-    ek.ntt_ctx = ctx
     if kernel == "auto":
-        kernel = jax.default_backend() == "tpu" and ctx.F % 128 == 0
+        kernel = jax.default_backend() == "tpu"
+    if kernel:
+        ctx = pallas_ntt_blindrot2.kernel_context_for_params(params)
+    else:
+        ctx = ntt.context_for_params(params)
+    ek.ntt_ctx = ctx
+    ek.form = "ntt_kernel" if kernel else "ntt_scan"
 
-    # Optional disk cache of the prepared form, keyed by the raw TGSW rows
-    # (key prep is deterministic): EOC_NTT_KEY_CACHE=<dir>.
+    # Optional disk cache of the prepared form: EOC_NTT_KEY_CACHE=<dir>.
+    # Keyed by the raw TGSW rows AND the full NTT plan + layout version, and
+    # validated on load (round-2 ADVICE: a plan or layout change must never
+    # silently load a stale key).
     cache_path = None
+    expected_shape = None
     cache_dir = os.environ.get("EOC_NTT_KEY_CACHE")
+    n, J, U, N = ek.bk_rows.shape
+    if kernel:
+        expected_shape = (int(n), len(ctx.primes), ctx.F, ctx.J * ctx.R,
+                          2 * ctx.key_limbs * int(U) * ctx.R)
     if cache_dir:
         import hashlib
         bk_np = np.asarray(ek.bk_rows)
-        h = hashlib.sha1(bk_np.tobytes()).hexdigest()[:16]
+        plan = (f"v{KERNEL_KEY_LAYOUT_VERSION}-p{'.'.join(map(str, ctx.primes))}"
+                f"-R{ctx.R}-L{ctx.key_limbs}b{ctx.key_limb_bits}")
+        h = hashlib.sha1(bk_np.tobytes() + plan.encode()).hexdigest()[:16]
         form = "kern" if kernel else "scan"
-        cache_path = os.path.join(cache_dir, f"ntt-{form}-{h}.npy")
+        cache_path = os.path.join(cache_dir, f"ntt-{form}-{plan}-{h}.npy")
         if os.path.exists(cache_path):
             T8c = np.load(cache_path)
-            if kernel:
+            ok = T8c.dtype == np.int8 and (
+                expected_shape is None or T8c.shape == expected_shape)
+            if not ok:
+                T8c = None  # stale/mismatched — rebuild below
+            elif kernel:
                 ek.bk_ntt_kernel = jnp.asarray(T8c)
+                return _check_eval_key(ek)
             else:
                 ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c),
                                        variance=ek.bk_variance)
-            return ek
+                return _check_eval_key(ek)
 
     # Host-side build: bit-identical to the jitted device build but needs no
     # XLA compile (key prep is one-time; compile latency dominated it).
-    key_np = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
-                                    variance=float(ek.bk_variance),
-                                    as_numpy=True)
     if kernel:
-        T8c = pallas_ntt_blindrot.prepare_kernel_key_np(key_np.T8)
+        T8c = ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx)
+        assert T8c.shape == expected_shape, (T8c.shape, expected_shape)
         ek.bk_ntt_kernel = jnp.asarray(T8c)
     else:
+        key_np = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
+                                        variance=float(ek.bk_variance),
+                                        as_numpy=True)
         T8c = key_np.T8
         ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c), variance=key_np.variance)
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
-        np.save(cache_path, T8c)
-    return ek
+        tmp = cache_path + f".tmp.{os.getpid()}.npy"
+        np.save(tmp, T8c)
+        os.replace(tmp, cache_path)
+    return _check_eval_key(ek)
 
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,
@@ -215,20 +268,20 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
     if ek.bk_ntt_kernel is not None:
-        from ..ops import pallas_ntt_blindrot
+        from ..ops import pallas_ntt_blindrot2
         batch_shape = ct.b.shape
         B = int(np.prod(batch_shape)) if batch_shape else 1
         acc0_f = acc0.reshape((B, k + 1, N))
         bara_f = jnp.moveaxis(bara.reshape((B, params.n)), -1, 0)   # (n, B)
-        # Mosaic tiles the batch in blocks of 128; pad and slice back.  The
-        # pad rows rotate zeros — well-defined and discarded.
+        # Mosaic tiles the batch on the lane axis in blocks of 128; pad and
+        # slice back.  The pad rows rotate zeros — well-defined, discarded.
         pad = (-B) % 128 if jax.default_backend() == "tpu" else 0
         if pad:
             acc0_f = jnp.concatenate(
                 [acc0_f, jnp.zeros((pad, k + 1, N), jnp.int32)], axis=0)
             bara_f = jnp.concatenate(
                 [bara_f, jnp.zeros((params.n, pad), jnp.int32)], axis=1)
-        acc = pallas_ntt_blindrot.blind_rotate_ntt_pallas(
+        acc = pallas_ntt_blindrot2.blind_rotate_ntt_pallas2(
             acc0_f, bara_f, ek.bk_ntt_kernel, ek.ntt_ctx, params)
         acc = acc[:B].reshape(batch_shape + (k + 1, N))
     elif ek.bk_ntt is not None:

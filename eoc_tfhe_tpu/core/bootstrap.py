@@ -305,11 +305,30 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     else:
         acc = blind_rotate(acc0, bara, ek.bk_rows, params, rotation_impl)
 
-    tl_ct = TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32))
-    out = tlwe_extract_lwe_sample(tl_ct)
+    out = tlwe_extract_lwe_sample(
+        TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32)))
     tg = params.tgsw_params
-    n_var = float(params.n * tg.kpl * N * (tg.halfBg ** 2))
-    var = jnp.float32(n_var) * ek.bk_variance
+    # Blind-rotate noise recurrence, calibrated against measured phase error
+    # (tests/test_noise.py; derivation in scripts/probes/README + the round-3
+    # noise study).  Per CMux step:
+    #   * bk-noise term: kpl*N*E[d^2]*Var_bk, E[d^2] = Bg^2/12 (uniform
+    #     digits).  Our NTT path is exact mod 2^32, so there is NO FFT
+    #     rounding term (the reference's f64 FFT adds one).
+    #   * decomposition term: the offset-trick reconstruction error is
+    #     uniform in (-2^(32-l*Bgbit), 0] — floor-like, mean -eps_mean with
+    #     eps_mean = 2^-(l*Bgbit+1).  The per-coefficient bias is IDENTICAL
+    #     across coefficients, so its phase contribution sums coherently to
+    #     ~(1 + k*N*E[s]) * eps_mean within a step (and decoheres across
+    #     steps through the rotations), dominating the incoherent part.
+    #     Only steps with s_i = 1 contribute (E[s] = 1/2).
+    eps_mean = 2.0 ** -(tg.l * tg.Bgbit + 1)
+    eps_u2 = 2.0 ** (-2 * tg.l * tg.Bgbit) / 12.0
+    kN2 = 1.0 + tl.k * N / 2.0
+    dec_step = 0.5 * (kN2 * eps_mean) ** 2 + kN2 * eps_u2
+    d2 = (2.0 * tg.halfBg) ** 2 / 12.0
+    step_var = (jnp.float32(tg.kpl * N * d2) * ek.bk_variance
+                + jnp.float32(dec_step))
+    var = jnp.float32(params.n) * step_var
     if ek.bk_compact is not None and ek.bk_ntt is None:
         # Fast rounded-key form: account the key-rounding error (uniform in
         # [-2^(8*drop-1), 2^(8*drop-1)) per coefficient, convolved with the
@@ -329,6 +348,34 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
             var = var + jnp.float32(round_var)
     var = jnp.broadcast_to(var, ct.b.shape)
     return LweCiphertext(a=out.a, b=out.b, current_variance=var)
+
+
+def predicted_bootstrap_variance(params: GateBootstrappingParams,
+                                 bk_variance: float | None = None,
+                                 with_keyswitch: bool = True) -> float:
+    """Host-side worst-case output phase variance of one gate bootstrap.
+
+    Mirrors the device bookkeeping in :func:`bootstrap_woKS` /
+    ``ops.keyswitch.keyswitch_apply`` with the keyswitch term at its maximum
+    (every digit nonzero).  Used by the gate-level noise-budget assertion
+    (``core/gates.check_noise_budget``) and the statistical noise test.
+    """
+    tg = params.tgsw_params
+    tl = tg.tlwe_params
+    if bk_variance is None:
+        bk_variance = float(tl.alpha_min) ** 2
+    eps_mean = 2.0 ** -(tg.l * tg.Bgbit + 1)
+    eps_u2 = 2.0 ** (-2 * tg.l * tg.Bgbit) / 12.0
+    kN2 = 1.0 + tl.k * tl.N / 2.0
+    dec_step = 0.5 * (kN2 * eps_mean) ** 2 + kN2 * eps_u2
+    d2 = (2.0 * tg.halfBg) ** 2 / 12.0
+    var = params.n * (tg.kpl * tl.N * d2 * bk_variance + dec_step)
+    if with_keyswitch:
+        n_in = tl.k * tl.N
+        tb = params.ks.t * params.ks.basebit
+        var += n_in * params.ks.t * float(params.in_out_params.alpha_min) ** 2
+        var += n_in * 2.0 ** (-2 * tb) / 24.0     # digit-rounding term
+    return var
 
 
 def bootstrap(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,

@@ -16,12 +16,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from .params import GateBootstrappingParams
 from .numeric import mod_switch_to_torus32_np, double_to_t32, gaussian32
 from .lwe import (LweCiphertext, LweKey, lwe_add, lwe_sub, lwe_negate,
                   lwe_noiseless_trivial, lwe_sym_encrypt, lwe_phase,
                   lwe_add_mul, lwe_sub_mul)
-from .bootstrap import EvalKey, bootstrap, bootstrap_woKS
+from .bootstrap import (EvalKey, bootstrap, bootstrap_woKS,
+                        predicted_bootstrap_variance)
 from ..ops.keyswitch import keyswitch_apply
 
 #: mu for "true"/"false": 1/8 and -1/8 (upstream _1s8).
@@ -75,10 +78,42 @@ def constant(value: jax.Array, params: GateBootstrappingParams) -> LweCiphertext
 # temp LWE sample, then bootstraps with mu = 1/8 (upstream boot-gates.cpp).
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def check_noise_budget(params: GateBootstrappingParams,
+                       sa: int = 2, sb: int = 2) -> float:
+    """Static noise-budget rail at gate boundaries (VERDICT r2 item 6).
+
+    Worst case for a two-input gate: each input is itself a worst-case gate
+    output (full bootstrap + keyswitch variance), scaled by the gate's linear
+    coefficients.  The combined phase stdev entering the next bootstrap must
+    stay under ``MAX_STDEV`` (``alpha_max`` — the reference's decorative
+    ``params.in_out_params.alpha_max`` made load-bearing).  Raises at gate
+    *build* time if the parameter set cannot support gate composition.
+    Returns the predicted input stdev.
+    """
+    per_input = predicted_bootstrap_variance(params)
+    stdev = float(np.sqrt((sa * sa + sb * sb) * per_input))
+    budget = float(params.in_out_params.alpha_max)
+    # Hard rails: each input ciphertext's own variance must respect
+    # max_stdev^2, and the combined linear input may not exceed twice the
+    # budget (beyond which the 1/16 decision margin drops under ~2 sigma and
+    # gates actually fail).  The nominal combined bound (stdev <= budget) is
+    # worst-case in every factor; upstream's own 80-bit set exceeds it for
+    # XOR's (2,2) coefficients (~3.8 sigma) yet ships, so that level is not
+    # treated as an error.
+    if per_input > budget * budget or stdev > 2.0 * budget:
+        raise ValueError(
+            f"gate noise budget exceeded: predicted input stdev {stdev:.3e} "
+            f"(per-input var {per_input:.3e}) vs max_stdev {budget:.3e} "
+            f"for params {params!r}")
+    return stdev
+
+
 def _gate(offset_t32: int, ca: LweCiphertext, cb: LweCiphertext,
           sa: int, sb: int, ek: EvalKey, params: GateBootstrappingParams,
           rotation_impl: str = "auto") -> LweCiphertext:
     """temp = (0, offset) + sa*ca + sb*cb ; bootstrap(mu=1/8, temp)."""
+    check_noise_budget(params, sa, sb)
     temp = lwe_noiseless_trivial(
         jnp.broadcast_to(jnp.int32(offset_t32), ca.b.shape), ca.n)
     temp = lwe_add_mul(temp, sa, ca)
@@ -139,6 +174,7 @@ def oryn(ca, cb, ek, params, rotation_impl="auto"):
 def mux(c, a, b, ek, params, rotation_impl="auto"):
     """MUX(c, a, b) = c ? a : b — two woKS bootstraps + add + one keyswitch
     (upstream ``bootsMUX``)."""
+    check_noise_budget(params, 1, 1)
     # u1 = bootstrap_woKS((0,-1/8) + c + a), u2 = bootstrap_woKS((0,-1/8) - c + b)
     in1 = LweCiphertext(a=(c.a + a.a).astype(jnp.int32), b=(jnp.int32(_t32(-1, 8)) + c.b + a.b).astype(jnp.int32),
                         current_variance=c.current_variance + a.current_variance)

@@ -144,3 +144,11 @@ def double_to_t32(d: float) -> int:
     v = int(frac * _TWO32)
     v &= 0xFFFFFFFF
     return v - _TWO32 if v >= 2**31 else v
+
+
+def t32_to_double(t):
+    """Torus32 -> centered double in [-1/2, 1/2) (upstream ``t32tod``).
+
+    Host-side numpy; exact (int32 / 2^32 is representable in f64).
+    """
+    return np.asarray(t, np.int32).astype(np.float64) / _TWO32

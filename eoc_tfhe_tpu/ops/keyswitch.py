@@ -72,6 +72,16 @@ def keyswitch_apply(ct_extracted: LweCiphertext, ks: KeySwitchKey,
 
     a = (-delta[..., :n_out]).astype(jnp.int32)
     b = (ct_extracted.b - delta[..., n_out]).astype(jnp.int32)
-    # Variance: each nonzero digit subtracts one ks entry (n_in * t of them).
-    var = ct_extracted.current_variance + n_in * t * ks.variance
+    # Variance: each NONZERO digit subtracts one ks entry — upstream
+    # ``lweKeySwitchTranslate_fromArray`` skips aij == 0 (one ``lweSubTo``
+    # per nonzero digit, each adding the entry's variance), so the exact
+    # recurrence counts them per sample rather than assuming n_in * t.
+    nnz = jnp.sum((digits != 0).astype(jnp.float32), axis=(-2, -1))
+    # Plus the digit-rounding term: each input coefficient is rounded to
+    # t*basebit bits (err uniform +-2^(31-t*basebit), centered by the
+    # prec_offset), contributing n_in * E[s^2] * 2^(-2*t*basebit)/12 to the
+    # output phase variance (E[s^2] = 1/2 for binary keys).
+    tb = t * basebit
+    round_var = jnp.float32(n_in * 2.0 ** (-2 * tb) / 24.0)
+    var = ct_extracted.current_variance + nnz * ks.variance + round_var
     return LweCiphertext(a=a, b=b, current_variance=var)

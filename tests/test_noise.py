@@ -1,0 +1,96 @@
+"""Noise accounting: predicted vs empirical phase variance (VERDICT r2 #6).
+
+The reference carries ``current_variance`` per sample but its FFT path keeps
+it only loosely; this framework's bookkeeping (``bootstrap_woKS`` blind-rotate
+recurrence + per-nonzero-digit keyswitch counting) is checked here against
+measured phase error over >= 10^4 bootstraps at test parameters, and the
+static gate-boundary budget rail is exercised both ways.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eoc_tfhe_tpu.core import bootstrap, gates, keys
+from eoc_tfhe_tpu.core import params as params_mod
+from eoc_tfhe_tpu.core.lwe import lwe_phase
+from eoc_tfhe_tpu.core.numeric import t32_to_double
+
+
+def _params():
+    # Default toy noise: tracked terms (~2e-5 phase stdev) sit far above the
+    # Torus32 quantization floor (2^-32), far below the gate budget rail.
+    return params_mod.test_params(n=16, N=64, k=1, l=3, Bgbit=7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = _params()
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), p)
+    ek = bootstrap.prepare_eval_key(ks.cloud)
+    return p, ks, ek
+
+
+def test_empirical_vs_predicted_bootstrap_variance(setup):
+    """>= 10^4 full gate bootstraps; the measured phase variance must match
+    the prediction within [1/4, 4] (per-key noise realizations + worst-case
+    vs average-case slack)."""
+    p, ks, ek = setup
+    B = 10_240
+    rng = np.random.default_rng(3)
+    bits_a = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    bits_b = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(1), bits_a, ks.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(2), bits_b, ks.lwe_key, p)
+    out = gates.nand(ca, cb, ek, p)
+
+    # Exact phase error: phase - mu, as centered double on the torus.
+    want_mu = np.where(~(np.asarray(bits_a) & np.asarray(bits_b)),
+                       gates.MU_BOOL, -gates.MU_BOOL).astype(np.int32)
+    phase = np.asarray(lwe_phase(out, ks.lwe_key))
+    err = t32_to_double((phase - want_mu).astype(np.int32))
+    measured = float(np.mean(err ** 2))
+
+    predicted = bootstrap.predicted_bootstrap_variance(p)
+    tracked = float(np.asarray(out.current_variance)[0])
+    assert measured == pytest.approx(predicted, rel=3.0), (measured, predicted)
+    assert 0.25 * predicted <= measured <= 4.0 * predicted
+    # The per-sample tracked variance stays within the same factor of truth.
+    assert 0.2 * measured <= tracked <= 5.0 * measured
+
+
+def test_keyswitch_variance_counts_nonzero_digits(setup):
+    p, ks, ek = setup
+    B = 64
+    rng = np.random.default_rng(4)
+    bits = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(5), bits, ks.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(6), bits, ks.lwe_key, p)
+    out = gates.nand(ca, cb, ek, p)
+    n_in = p.N * p.k
+    var = np.asarray(out.current_variance)
+    woks = bootstrap.predicted_bootstrap_variance(p, with_keyswitch=False)
+    ks_var = float(p.in_out_params.alpha_min) ** 2
+    round_var = n_in * 2.0 ** (-2 * p.ks.t * p.ks.basebit) / 24.0
+    # nnz <= n_in * t, and the digits are essentially uniform so well over 0.
+    upper = woks + round_var + n_in * p.ks.t * ks_var * (1 + 1e-6)
+    assert np.all(var <= upper)
+    assert np.all(var >= woks + round_var + 0.3 * n_in * p.ks.t * ks_var)
+    # the full prediction uses the nnz = n_in*t worst case
+    assert bootstrap.predicted_bootstrap_variance(p) >= float(var.max())
+
+
+def test_gate_budget_rail_raises_on_bad_params():
+    bad = params_mod.test_params(n=16, N=64, k=1, l=3, Bgbit=7,
+                                 ks_stdev=0.02, bk_stdev=1e-9)
+    with pytest.raises(ValueError, match="noise budget"):
+        gates.check_noise_budget(bad, 2, 2)
+
+
+def test_gate_budget_rail_passes_default_sets():
+    for p in (params_mod.default_128bit_params(),
+              params_mod.default_80bit_params()):
+        # All shipped gate coefficient pairs, including XOR's (2, 2).
+        for sa, sb in ((1, 1), (1, -1), (2, 2)):
+            gates.check_noise_budget(p, sa, sb)

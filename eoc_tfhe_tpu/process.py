@@ -20,10 +20,16 @@ This module provides the TPU-native equivalent:
 
 Dispatch is by ``Action`` tag over the reference's operation set, plus:
 
-  * ``Eval`` — the aos ``_eval`` analog (``tests/tfhe.test.js:64-71``), but
-    over a restricted expression grammar (:func:`_eval_restricted`) instead
-    of arbitrary code: ``Tfhe.*`` calls, literals and variables persist
-    across messages, nothing else.
+  * ``Eval`` — the aos ``_eval`` analog (``tests/tfhe.test.js:64-71``): the
+    message Data is executed as a **Lua program** by the sandboxed
+    Lua-subset interpreter (:mod:`eoc_tfhe_tpu.lua`), with persistent
+    globals across messages (the aos ``_G``), ``require(".tfhe")``,
+    ``Handlers.add(name, matcher, fn)`` pattern-matched registration,
+    ``ao.send``, ``json`` and the deterministic ``.crypto`` RNG — the
+    reference's own integration-test chunks run verbatim.
+  * Lua-registered ``Handlers`` — evaluated in registration order for
+    messages whose Action has no builtin handler, each with its aos-style
+    matcher function (``Handlers.utils.hasMatchingTag``).
   * ``Process.send`` / response ``Messages`` — the ``ao.send`` pattern;
     :class:`Router` delivers them between registered processes
     (``9qK8…/README.md:88-113``).
@@ -31,11 +37,11 @@ Dispatch is by ``Action`` tag over the reference's operation set, plus:
 
 from __future__ import annotations
 
-import ast
 import hashlib
 import json
 from typing import Callable
 
+from . import lua
 from .api.tfhe import Tfhe
 from .core.params import GateBootstrappingParams
 
@@ -44,70 +50,32 @@ class EvalError(Exception):
     pass
 
 
-def _eval_restricted(src: str, names: dict) -> tuple[object, dict]:
-    """The ``Eval`` analog: run ``Tfhe.*`` expressions, safely.
+#: Tfhe methods exposed to Lua (the luaL_Reg table of the reference's
+#: bindings, ``eoc-tfhe-bindings.c:128-148``).
+_TFHE_METHODS = ("info", "testJWT", "generateSecretKey", "generatePublicKey",
+                 "encryptInteger", "encryptInteger_dummy", "decryptInteger",
+                 "addCiphertexts", "subtractCiphertexts", "encryptASCIIString",
+                 "decryptASCIIString")
 
-    The reference's aos ``_eval`` handler ``load()``s arbitrary Lua
-    (``tests/tfhe.test.js:64-71``); the TPU runtime keeps the capability
-    (drive the full API from message Data, incl. variables across
-    statements) but only admits a whitelisted expression grammar — method
-    calls on known objects, literals, and names — no attribute escapes,
-    no builtins, no statements with side channels.
-    """
-    tree = ast.parse(src, mode="exec")
-    env = dict(names)
-    result = None
 
-    def ev(node):
-        if isinstance(node, ast.Expression):
-            return ev(node.body)
-        if isinstance(node, ast.Constant):
-            return node.value
-        if isinstance(node, ast.Name):
-            if node.id not in env:
-                raise EvalError(f"unknown name {node.id!r}")
-            return env[node.id]
-        if isinstance(node, (ast.List, ast.Tuple)):
-            return [ev(e) for e in node.elts]
-        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
-            v = ev(node.operand)
-            if not isinstance(v, (int, float)):
-                raise EvalError("unary minus on non-number")
-            return -v
-        if isinstance(node, ast.BinOp) and isinstance(node.op, (ast.Add, ast.Sub)):
-            a, b = ev(node.left), ev(node.right)
-            if isinstance(node.op, ast.Add):
-                return a + b
-            return a - b
-        if isinstance(node, ast.Call):
-            fn = node.func
-            if not (isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name)):
-                raise EvalError("only obj.method(...) calls are allowed")
-            obj = env.get(fn.value.id)
-            if obj is None or fn.value.id.startswith("_"):
-                raise EvalError(f"unknown object {fn.value.id!r}")
-            if fn.attr.startswith("_"):
-                raise EvalError("private attributes are not callable")
-            method = getattr(type(obj), fn.attr, None)
-            if not callable(method):
-                raise EvalError(f"no method {fn.attr!r} on {fn.value.id}")
-            args = [ev(a) for a in node.args]
-            return method(obj, *args)
-        raise EvalError(f"disallowed syntax: {ast.dump(node)[:60]}")
+def _tfhe_bridge(t: Tfhe) -> lua.LuaTable:
+    """Expose the Tfhe facade to Lua as a table of bound closures (no
+    attribute traversal — the sandbox only sees these entries)."""
+    table = lua.LuaTable()
+    for name in _TFHE_METHODS:
+        method = getattr(t, name, None)
+        if method is None and name == "encryptInteger_dummy":
+            method = t.encryptInteger          # the reference aliases it
+        if method is None:
+            continue
 
-    for stmt in tree.body:
-        if isinstance(stmt, ast.Expr):
-            result = ev(stmt.value)
-        elif (isinstance(stmt, ast.Assign) and len(stmt.targets) == 1
-              and isinstance(stmt.targets[0], ast.Name)):
-            name = stmt.targets[0].id
-            if name.startswith("_") or name == "Tfhe":
-                raise EvalError(f"cannot assign to {name!r}")
-            env[name] = ev(stmt.value)
-            result = env[name]
-        else:
-            raise EvalError("only expressions and simple assignments allowed")
-    return result, env
+        def wrap(m=method):
+            def call(*args):
+                out = m(*args)
+                return out
+            return call
+        table.set(name, wrap())
+    return table
 
 
 def _seed_from_env(env: dict, msg: dict) -> int:
@@ -130,8 +98,11 @@ class Process:
         self.tfhe: Tfhe | None = None
         self.log: list[tuple[str, str]] = []
         self.handlers: dict[str, Callable[[dict, dict], str]] = {}
-        self._eval_env: dict = {}
         self._outbox: list[dict] = []
+        self._lua_G: lua.LuaTable | None = None
+        self._lua_handlers: list[tuple[str, object, object]] = []
+        self._prints: list[str] = []
+        self._crypto = lua.Crypto(0)
         self._register_defaults()
 
     # -- outbound messages (``ao.send`` analog) -----------------------------
@@ -178,13 +149,144 @@ class Process:
         self.add_handler("Eval", self._handle_eval)
         self.add_handler("Send", self._handle_send)
 
+    # -- the Lua environment (aos _G analog, persistent across messages) ----
+
+    def _lua_globals(self) -> lua.LuaTable:
+        if self._lua_G is not None:
+            return self._lua_G
+        bridge = _tfhe_bridge(self._t())
+
+        G = lua.make_stdlib(self._prints.append, self._crypto,
+                            modules={".tfhe": bridge, "tfhe": bridge})
+        G.set("Tfhe", bridge)
+
+        ao = lua.LuaTable({"id": self.id})
+
+        def ao_send(m):
+            if not isinstance(m, lua.LuaTable):
+                raise lua.LuaError("ao.send expects a message table")
+            tags = {}
+            t = m.get("Tags")
+            if isinstance(t, lua.LuaTable):
+                for i in range(t.length()):
+                    entry = t.get(i + 1)
+                    if isinstance(entry, lua.LuaTable):
+                        tags[entry.get("name")] = entry.get("value")
+                for k, v in t.hash.items():
+                    if not isinstance(k, int):
+                        tags[k] = v
+            for k, v in m.hash.items():
+                if k not in ("Target", "Data", "Tags") and isinstance(k, str) \
+                        and isinstance(v, (str, int, float)):
+                    tags[k] = v
+            self.send(m.get("Target") or "", tags,
+                      lua.lua_tostring(m.get("Data") or ""))
+            return None
+
+        ao.set("send", ao_send)
+        G.set("ao", ao)
+
+        handlers = lua.LuaTable()
+
+        def handlers_add(name, pattern, fn=None):
+            if fn is None:        # Handlers.add(name, fn): match on Action==name
+                fn = pattern
+                pattern = name
+            self._lua_handlers = [h for h in self._lua_handlers
+                                  if h[0] != name]
+            self._lua_handlers.append((name, pattern, fn))
+            return None
+
+        def handlers_remove(name):
+            self._lua_handlers = [h for h in self._lua_handlers
+                                  if h[0] != name]
+            return None
+
+        def has_matching_tag(name, value):
+            def matcher(msg_t):
+                tags = msg_t.get("Tags") if isinstance(msg_t, lua.LuaTable) else None
+                if isinstance(tags, lua.LuaTable):
+                    for i in range(tags.length()):
+                        e = tags.get(i + 1)
+                        if isinstance(e, lua.LuaTable) and \
+                                e.get("name") == name and e.get("value") == value:
+                            return True
+                return False
+            return matcher
+
+        handlers.set("add", handlers_add)
+        handlers.set("remove", handlers_remove)
+        handlers.set("utils", lua.LuaTable({"hasMatchingTag": has_matching_tag}))
+        G.set("Handlers", handlers)
+        self._lua_G = G
+        return G
+
+    def _msg_to_lua(self, msg: dict) -> lua.LuaTable:
+        t = lua._to_lua(msg)
+        # aos convenience: flattened tag access (msg.Action etc.)
+        for tag in msg.get("Tags", []):
+            if isinstance(tag, dict) and tag.get("name") not in t.hash:
+                t.set(tag["name"], tag.get("value"))
+        return t
+
     def _handle_eval(self, msg: dict, env: dict) -> str:
-        names = dict(self._eval_env)
-        names["Tfhe"] = self._t()
-        result, names = _eval_restricted(msg.get("Data", ""), names)
-        names.pop("Tfhe", None)
-        self._eval_env = names
-        return "" if result is None else str(result)
+        """aos ``_eval``: run message Data as a Lua chunk against the
+        persistent process globals; output = prints + the returned value."""
+        G = self._lua_globals()
+        src = msg.get("Data", "")
+        try:
+            # aos REPL convention: try `return <expr>` first, then run the
+            # chunk — with a trailing expression statement promoted to a
+            # return so interactive sequences yield their last value.
+            try:
+                block = lua.parse("return " + src)
+            except lua.LuaError:
+                block = lua.parse(src)
+                stmts = block[1]
+                if stmts and stmts[-1][0] == "exprstat":
+                    stmts[-1] = ("return", [stmts[-1][1]])
+            interp = lua.Interpreter(G)
+            G.set("__interp__", interp)
+            ret = []
+            try:
+                interp.exec_block(block, lua.Env())
+            except lua._Return as r:
+                ret = r.values
+        except lua.LuaError as exc:
+            raise EvalError(str(exc)) from exc
+        parts = list(self._prints)
+        if ret and ret[0] is not None:
+            parts.append(lua.lua_tostring(ret[0]))
+        return "\n".join(parts)
+
+    def _dispatch_lua_handlers(self, msg: dict, env: dict) -> str | None:
+        """aos Handlers evaluation: first registered handler whose matcher
+        accepts the message runs; returns its printed output (or None if no
+        matcher fired)."""
+        if not self._lua_handlers:
+            return None
+        G = self._lua_globals()
+        interp = lua.Interpreter(G)
+        G.set("__interp__", interp)
+        msg_t = self._msg_to_lua(msg)
+        tags = {t["name"]: t["value"] for t in msg.get("Tags", [])}
+        for name, pattern, fn in list(self._lua_handlers):
+            matched = False
+            if isinstance(pattern, str):
+                matched = tags.get("Action") == pattern
+            elif isinstance(pattern, lua.LuaTable):
+                matched = all(tags.get(k) == v for k, v in pattern.hash.items())
+            else:
+                out = interp.call(pattern, [msg_t])
+                matched = bool(out) and out[0] not in (None, False)
+            if not matched:
+                continue
+            ret = interp.call(fn, [msg_t])
+            parts = list(self._prints)
+            if ret and ret[0] is not None:
+                parts.append(lua.lua_tostring(ret[0]))
+            return "\n".join(parts)
+        return None
 
     def _handle_send(self, msg: dict, env: dict) -> str:
         """Forward Data to another process (tag Target), ao.send-style."""
@@ -213,18 +315,23 @@ class Process:
         if self.tfhe is None:
             seed = _seed_from_env(env, msg)
             self.tfhe = Tfhe(params=self._params, seed=seed)
+            self._crypto.seed(seed)       # aos .crypto chain-coordinate seed
         self.log.append((msg_json, env_json))
 
         tags = {t["name"]: t["value"] for t in msg.get("Tags", [])}
         action = tags.get("Action", "")
         self._outbox = []
+        self._prints.clear()
         try:
             handler = self.handlers.get(action)
-            if handler is None:
-                return json.dumps({"Output": {"data": {"output": ""}},
-                                   "Messages": [],
-                                   "Error": f"no handler for Action {action!r}"})
-            out = handler(msg, env)
+            if handler is not None:
+                out = handler(msg, env)
+            else:
+                out = self._dispatch_lua_handlers(msg, env)
+                if out is None:
+                    return json.dumps({
+                        "Output": {"data": {"output": ""}}, "Messages": [],
+                        "Error": f"no handler for Action {action!r}"})
             return json.dumps({"Output": {"data": {"output": out}},
                                "Messages": self._outbox, "Error": None})
         except Exception as exc:  # deterministic error surface, process survives

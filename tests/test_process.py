@@ -91,10 +91,17 @@ def test_eval_handler_reference_style():
 def test_eval_rejects_escapes():
     p = Process(params=make_test_params())
     out(p.handle(msg("GenerateSecretKey", Token="h.p"), ENV))
-    for bad in ["__import__('os')", "Tfhe._s", "open('/etc/passwd')",
-                "import os", "Tfhe.__class__()", "(lambda: 1)()"]:
+    # Python escape attempts are either Lua syntax errors or calls of nil
+    # (the sandbox exposes no Python attributes — the Tfhe bridge is a table
+    # of 11 bound closures, nothing else).
+    for bad in ["__import__('os')", "open('/etc/passwd')",
+                "import os", "Tfhe.__class__()", "(lambda: 1)()",
+                "getattr(Tfhe, '_s')", "os.execv('/bin/sh', {})"]:
         r = json.loads(p.handle(msg("Eval", data=bad), ENV))
         assert r["Error"] is not None, bad
+    # Indexing a private name is merely nil — not an escape.
+    r = json.loads(p.handle(msg("Eval", data="return Tfhe._s"), ENV))
+    assert r["Error"] is None and r["Output"]["data"]["output"] == ""
 
 
 def test_router_delivers_between_processes():

@@ -166,6 +166,50 @@ def main() -> None:
             print(f"# mesh {mesh_env}: {mesh_rate:,.0f}/s total, "
                   f"{per_chip:,.0f}/s/chip, eff="
                   f"{per_chip / bootstraps_per_sec:.2%}", file=sys.stderr)
+
+            # Small-batch latency table: replicated vs TGSW-row psum split
+            # vs frequency-split all_to_all (round-2 VERDICT item 5).
+            if tp >= 2:
+                from eoc_tfhe_tpu.ops import ntt as ntt_mod
+                from eoc_tfhe_tpu.parallel import sharded as sh
+                ek_scan = bootstrap.prepare_eval_key_ntt(keyset.cloud, params,
+                                                         kernel=False)
+                ctx = ek_scan.ntt_ctx
+                tl = params.tgsw_params.tlwe_params
+                T8_rows = sh.shard_ntt_key_rows(ek_scan.bk_ntt.T8, mesh)
+                T8_freq = sh.shard_ntt_key_freq(ek_scan.bk_ntt.T8, mesh)
+                lat = {}
+                for Bs in (8, 32, 64):
+                    rngs = np.random.default_rng(5)
+                    acc0 = jnp.asarray(rngs.integers(
+                        -2**31, 2**31, (Bs, tl.k + 1, tl.N),
+                        dtype=np.int64).astype(np.int32))
+                    bara = jnp.asarray(rngs.integers(
+                        0, 2 * tl.N, (params.n, Bs),
+                        dtype=np.int64).astype(np.int32))
+                    modes = {
+                        "replicated": lambda: ntt_mod.blind_rotate_ntt(
+                            acc0, bara, ek_scan.bk_ntt, params, ctx),
+                        "row_psum": lambda: sh.blind_rotate_ntt_tp(
+                            acc0, bara, T8_rows, params, ctx, mesh),
+                        "freq_a2a": lambda: sh.blind_rotate_ntt_freq_tp(
+                            acc0, bara, T8_freq, params, ctx, mesh),
+                    }
+                    row = {}
+                    for name, fn2 in modes.items():
+                        try:
+                            np.asarray(fn2())  # compile+warm
+                            ts2 = []
+                            for _ in range(3):
+                                t0 = time.time()
+                                np.asarray(fn2())
+                                ts2.append(time.time() - t0)
+                            row[name] = round(min(ts2) * 1e3, 2)
+                        except Exception as e:
+                            row[name] = f"failed: {e}"[:60]
+                    lat[f"B={Bs}"] = row
+                    print(f"# latency B={Bs}: {row}", file=sys.stderr)
+                scaling["blindrot_latency_ms"] = lat
         else:
             print(f"# mesh {mesh_env} skipped: needs {dp * tp} devices, "
                   f"have {len(jax.devices())}", file=sys.stderr)

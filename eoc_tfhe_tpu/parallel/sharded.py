@@ -177,3 +177,122 @@ def blind_rotate_ntt_tp(acc0: jax.Array, bara: jax.Array, T8_sharded,
         check_vma=False,
     )
     return smapped(acc0, bara, T8_sharded)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-split (limb-split) TP external product with all_to_all — the
+# north-star small-batch latency path (SURVEY.md §2.4 TP row: "FFT butterfly
+# stages exchanged all-to-all where polynomials are limb-split").  Unlike the
+# TGSW-row psum split above (which reduces full-size partial updates), each
+# device here owns an F-slice of the NTT spectrum: forward NTT + pointwise
+# MAC are local to the slice, one all_to_all repartitions the spectrum from
+# frequency-sharded to output-column-sharded, the inverse NTT is local, and
+# one all_gather rebuilds the update — moving ~2/tp of the psum bytes.
+# ---------------------------------------------------------------------------
+
+def _extprod_freq_step(digits, T8_l, ctx, axis: str):
+    """Local fwd NTT + pointwise for this device's frequency slice.
+
+    digits: (B, J, N) int32 (replicated over tp); T8_l: (P, L, 2, F_loc,
+    J*R, U*R) — this device's F-slice of the NttKey step.
+    Returns chat (P, L, F_loc, B, U*R) int32, strictly balanced per prime.
+    """
+    import numpy as np
+    from ..ops import ntt as ntt_mod
+
+    B, J, N = digits.shape
+    R, L = ctx.R, ctx.key_limbs
+    P = len(ctx.primes)
+    F_loc = T8_l.shape[3]
+    idx = jax.lax.axis_index(axis)
+
+    sub = ntt_mod.to_subpolys(digits, R)                  # (B, J, R, F)
+    chats = []
+    for pi, p in enumerate(ctx.primes):
+        W8_l = jax.lax.dynamic_slice_in_dim(
+            ctx.Wf8[pi], idx * F_loc, F_loc, axis=2)      # (2, F, F_loc)
+        dhat = ntt_mod.mod_matmul(sub, W8_l, p, xmax=ctx.halfBg)
+        dhat = jnp.transpose(dhat, (3, 0, 1, 2)).reshape(F_loc, B, J * R)
+        dlo, dhi = ntt_mod.split_i8(dhat)
+
+        def outer(d8, W8):   # (F_loc,B,K) x (L,F_loc,K,M) -> (L,F_loc,B,M)
+            return jax.lax.dot_general(
+                jnp.broadcast_to(d8[None], (L,) + d8.shape), W8,
+                (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32)
+
+        Tlo, Thi = T8_l[pi, :, 0], T8_l[pi, :, 1]
+        P00 = outer(dlo, Tlo)
+        Pm = ntt_mod.balanced_reduce(outer(dlo, Thi) + outer(dhi, Tlo), p)
+        P11 = ntt_mod.balanced_reduce(outer(dhi, Thi), p)
+        c16 = int(ntt_mod._balanced_np(np.int64(1 << 16), p))
+        chats.append(ntt_mod.balanced_reduce(
+            P00 + (Pm << 8) + P11 * jnp.int32(c16), p))   # (L, F_loc, B, M)
+    return jnp.stack(chats)                               # (P, L, F_loc, B, M)
+
+
+def blind_rotate_ntt_freq_tp(acc0: jax.Array, bara: jax.Array, T8_sharded,
+                             params: GateBootstrappingParams, ctx, mesh: Mesh,
+                             rotation_impl: str = "auto",
+                             axis: str = "tp") -> jax.Array:
+    """Blind rotation with the external product split over the NTT frequency
+    axis (all_to_all mode) — bit-identical to the replicated path.
+
+    Args:
+      acc0: (B, k+1, N) int32 (dp-sharded); bara: (n, B) int32;
+      T8_sharded: NttKey T8 (n, P, L, 2, F, J*R, U*R) placed with the F axis
+      sharded over tp (see :func:`shard_ntt_key_freq`).
+    """
+    from ..core.tgsw import decompose_h
+    from ..ops import ntt as ntt_mod
+    from ..ops import rotate
+    tg = params.tgsw_params
+    ntp = mesh.shape[axis]
+    R, F, L = ctx.R, ctx.F, ctx.key_limbs
+    assert F % ntp == 0, (F, ntp)
+
+    def local_rotate(acc0_l, bara_l, T8_l):
+        B = acc0_l.shape[0]
+        U = acc0_l.shape[1]
+        UR = U * R
+        assert UR % ntp == 0, (UR, ntp)
+
+        def step(acc, xs):
+            T8_step_l, bara_i = xs
+            d = rotate.mul_by_xai(acc, bara_i[:, None], impl=rotation_impl) - acc
+            digits = decompose_h(d.astype(jnp.int32), tg)        # (B, J, N)
+            chat = _extprod_freq_step(digits, T8_step_l, ctx, axis)
+            # all_to_all: frequency-sharded -> output-column-sharded
+            chat_x = jax.lax.all_to_all(chat, axis, split_axis=4,
+                                        concat_axis=2, tiled=True)
+            # (P, L, F, B, UR_loc) -> inverse NTT over full F, local columns
+            chat2 = jnp.transpose(chat_x, (0, 1, 3, 4, 2))       # (P,L,B,url,F)
+            vl = [ntt_mod.ntt_inverse_prime(chat2[pi], ctx, pi)
+                  for pi in range(len(ctx.primes))]
+            V = ntt_mod.crt_pair(jnp.stack(vl), ctx)             # (L,B,url,F)
+            out_l = jnp.zeros(V.shape[1:], jnp.int32)
+            for li in range(L):
+                out_l = (out_l + (V[li] << jnp.int32(
+                    ctx.key_limb_bits * li))).astype(jnp.int32)
+            upd = jax.lax.all_gather(out_l, axis, axis=1, tiled=True)
+            upd = ntt_mod.from_subpolys(upd.reshape(B, U, R, F))
+            return (acc + upd).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(step, acc0_l, (T8_l, bara_l))
+        return acc
+
+    smapped = shard_map(
+        local_rotate, mesh=mesh,
+        in_specs=(P("dp"), P(None, "dp"),
+                  P(None, None, None, None, "tp", None, None)),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return smapped(acc0, bara, T8_sharded)
+
+
+def shard_ntt_key_freq(T8: jax.Array, mesh: Mesh):
+    """Place the NttKey tensor with the NTT frequency axis sharded over tp
+    (each device stores 1/tp of the key — the all_to_all latency mode)."""
+    return jax.device_put(T8, NamedSharding(mesh, P(None, None, None, None,
+                                                    "tp", None, None)))

@@ -238,3 +238,49 @@ def test_hf_conversion_matches_transformers(tmp_path):
         {k: jnp.asarray(v) for k, v in params2.items()}, jnp.asarray(toks),
         cfg2, compute_dtype=jnp.float32))
     np.testing.assert_allclose(got2, want, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Checked-in golden fixtures (round-2 VERDICT item 8): a tiny llama2.c
+# checkpoint in all three container versions + tokenizer + pinned outputs,
+# generated once by scripts/gen_llama_goldens.py and committed — decoder and
+# codecs are regression-locked without torch or network access.
+# ---------------------------------------------------------------------------
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+_GOLD_CFG = llama.LlamaConfig(dim=32, hidden_dim=64, n_layers=2, n_heads=4,
+                              n_kv_heads=2, vocab_size=280, max_seq_len=32)
+
+
+def test_golden_tokenizer_ids():
+    tok = tokenizer.Tokenizer.load(os.path.join(_DATA, "llama_tiny_tok.bin"))
+    gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
+    ids = tok.encode("hello world")
+    np.testing.assert_array_equal(np.asarray(ids, np.int32),
+                                  gold["token_ids"])
+    # multi-level greedy merges: h+e, l+l, ll+o, he+llo -> one 'hello' token
+    assert tok.decode(ids) == " hello world"
+
+
+def test_golden_checkpoint_versions_agree():
+    c0, p0 = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v0.bin"))
+    c1, p1 = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v1.bin"))
+    for k in p0:
+        np.testing.assert_allclose(p0[k], p1[k], atol=0, rtol=0)
+    c2, p2 = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v2.bin"))
+    for k in p0:   # Q8_0 v2: quantized weights within group-scale error
+        np.testing.assert_allclose(np.asarray(p2[k], np.float32),
+                                   np.asarray(p0[k], np.float32),
+                                   atol=2e-2, rtol=0)
+    assert (c0.dim, c0.vocab_size) == (32, 280) == (c2.dim, c2.vocab_size)
+
+
+def test_golden_forward_logits_and_generate():
+    gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
+    cfg, p = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v0.bin"))
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    prompt = jnp.asarray(gold["token_ids"][None].astype(np.int32))
+    logits = np.asarray(llama.forward(p, prompt, cfg))
+    np.testing.assert_allclose(logits, gold["logits"], atol=2e-5, rtol=0)
+    gen = np.asarray(llama.generate(p, prompt, 8, cfg))
+    np.testing.assert_array_equal(gen, gold["generated"])

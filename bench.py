@@ -35,7 +35,9 @@ def main() -> None:
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
-    B = int(os.environ.get("EOC_BENCH_BATCH", "512"))
+    # Default batch 2048: the axon relay costs ~27 ms per dispatch
+    # (scripts/probes/tpu_probe5.py), so per-call work must dwarf it.
+    B = int(os.environ.get("EOC_BENCH_BATCH", "2048"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
     # ntt (exact CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
     form = os.environ.get("EOC_BENCH_FORM", "ntt")
@@ -126,6 +128,24 @@ def main() -> None:
     got = gates.decrypt_bit(out_ct, keyset.lwe_key)
     ok = bool(np.array_equal(got, ~(a & b)))
     print(f"# batch={B} per-gate={dt / B * 1e3:.3f}ms correct={ok}", file=sys.stderr)
+
+    # Single-gate latency (VERDICT r2 item 7): a B=1 NAND call, end to end
+    # (the kernel pads the lane tile internally; this is the latency cliff a
+    # one-gate caller actually pays, dispatch overhead included).
+    b1_ms = None
+    if not os.environ.get("EOC_BENCH_NO_B1"):
+        ca1 = gates.encrypt_bit(jax.random.key(5), jnp.asarray(a[:1]),
+                                keyset.lwe_key, params)
+        cb1 = gates.encrypt_bit(jax.random.key(6), jnp.asarray(b[:1]),
+                                keyset.lwe_key, params)
+        np.asarray(nand_step(ca1, cb1, ek)[1])       # compile+warm
+        t1s = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(nand_step(ca1, cb1, ek)[1])
+            t1s.append(time.time() - t0)
+        b1_ms = round(min(t1s) * 1e3, 2)
+        print(f"# B=1 NAND latency: {b1_ms} ms", file=sys.stderr)
 
     # Optional scaling mode: EOC_BENCH_MESH="dpxtp" (e.g. "4x2") runs the
     # sharded NAND over a device mesh and reports scaling efficiency
@@ -218,6 +238,8 @@ def main() -> None:
            "limbs": (limbs if form in ("fused", "chunked") else "exact"),
            "correct": ok, "keygen_s": round(keygen_s, 1),
            "compile_s": round(compile_s, 1)}
+    if b1_ms is not None:
+        cfg["b1_latency_ms"] = b1_ms
     if scaling:
         cfg["scaling"] = scaling
     print(json.dumps({

@@ -188,8 +188,21 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
                                        variance=ek.bk_variance)
                 return _check_eval_key(ek)
 
-    # Host-side build: bit-identical to the jitted device build but needs no
-    # XLA compile (key prep is one-time; compile latency dominated it).
+    # Build the prepared key.  On a real TPU the build MUST run on device:
+    # the transform is seconds of device work on a 31 MB input, whereas
+    # shipping the ~743 MB prepared tensor through the axon relay runs at
+    # ~6 MB/s (measured round 3) — minutes of pure transfer.  On CPU the
+    # numpy fast path wins (no XLA compile of the build graph).
+    if kernel and jax.default_backend() == "tpu":
+        from ..ops import pallas_ntt_blindrot
+        key_dev = ntt.prepare_key_ntt(jnp.asarray(ek.bk_rows), ctx,
+                                      variance=ek.bk_variance)
+        ek.bk_ntt_kernel = pallas_ntt_blindrot.prepare_kernel_key(key_dev, ctx)
+        jax.block_until_ready(ek.bk_ntt_kernel)
+        if cache_path:
+            # cache write would pull 743 MB back through the relay — skip.
+            pass
+        return _check_eval_key(ek)
     if kernel:
         T8c = ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx)
         assert T8c.shape == expected_shape, (T8c.shape, expected_shape)

@@ -1,7 +1,11 @@
 """Clean per-step timing of the full v3 kernel: n=630 vs 2x630, reps=5.
 
-The ~27 ms fixed per-dispatch overhead (axon relay) cancels in
-(t[2n] - t[n]) / n.  Run: python scripts/tpu_v3_full.py [R ...]
+All large arrays are generated ON DEVICE (jax.random) — the axon relay
+moves host data at ~6 MB/s, so shipping a test key from the host would take
+minutes (measured round 3; see scripts/probes/README.md).  The ~27 ms fixed
+per-dispatch overhead cancels in (t[2n] - t[n]) / n.
+
+Run: python scripts/tpu_v3_full.py [R ...]
 """
 
 import sys
@@ -24,10 +28,9 @@ p = params_mod.default_128bit_params()
 tg = p.tgsw_params
 N, k = tg.tlwe_params.N, tg.tlwe_params.k
 B = 128
-r = np.random.default_rng(0)
 
-acc0 = jnp.asarray(r.integers(-2**31, 2**31, (B, k + 1, N), dtype=np.int64)
-                   .astype(np.int32))
+acc0 = jax.random.randint(jax.random.key(0), (B, k + 1, N),
+                          -2**31, 2**31 - 1, dtype=jnp.int32)
 
 
 def run(R):
@@ -38,11 +41,11 @@ def run(R):
     M = ctx.key_limbs * (k + 1) * R
     ts = {}
     for n in (630, 1260):
-        T8k = jnp.asarray(
-            r.integers(-128, 128, (n, 2, F, K, 2 * M), dtype=np.int64)
-            .astype(np.int8))
-        bara = jnp.asarray(r.integers(0, 2 * N, (n, B), dtype=np.int64)
-                           .astype(np.int32))
+        T8k = jax.random.randint(jax.random.key(1), (n, 2, F, K, 2 * M),
+                                 -128, 128, dtype=jnp.int32).astype(jnp.int8)
+        bara = jax.random.randint(jax.random.key(2), (n, B), 0, 2 * N,
+                                  dtype=jnp.int32)
+        jax.block_until_ready((T8k, bara))
         f = jax.jit(lambda b_, a_, t_: p2.blind_rotate_ntt_pallas2(
             a_, b_, t_, ctx, p)[0, 0, :1])
         t0 = time.perf_counter()
@@ -54,10 +57,10 @@ def run(R):
             np.asarray(f(bara, acc0, T8k))
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
-        print(f"  R={R} n={n}: {best*1e3:.1f} ms (compile {tc:.0f}s)",
+        print(f"  R={R} n={n}: {best*1e3:.1f} ms (compile+first {tc:.0f}s)",
               flush=True)
     dt = (ts[1260] - ts[630]) / 630
-    rate = 1.0 / (dt * 630) * B  # bootstraps/s at B=128, overhead-free
+    rate = B / (dt * 630)
     print(f"R={R}: {dt*1e6:.1f} us/step -> {rate:,.0f} blind-rotates/s/chip "
           f"(asymptotic, Bt=128)", flush=True)
 

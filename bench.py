@@ -65,8 +65,19 @@ def main() -> None:
             print(f"# key cache ignored: {e}", file=sys.stderr)
             keyset = None
     if keyset is None:
-        keyset = keys.new_random_gate_bootstrapping_secret_keyset(
-            jax.random.key(0), params)
+        # Generate on the host CPU backend when available: keygen is ~6 s of
+        # CPU work, whereas on the remote TPU every sub-jit pays a relay
+        # compile; threefry is backend-independent so the bits are identical.
+        gen_key = jax.random.key(0)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                keyset = keys.new_random_gate_bootstrapping_secret_keyset(
+                    gen_key, params)
+                jax.block_until_ready(keyset.cloud.bk.ks.ks)
+        except Exception:
+            keyset = keys.new_random_gate_bootstrapping_secret_keyset(
+                gen_key, params)
         try:
             from eoc_tfhe_tpu.io import tfhe_io
             os.makedirs(cache_dir, exist_ok=True)
@@ -74,6 +85,8 @@ def main() -> None:
                 f.write(tfhe_io.export_secret_keyset(keyset, params))
         except Exception as e:
             print(f"# key cache write failed: {e}", file=sys.stderr)
+    keyset_s = time.time() - t0
+    print(f"# keyset ready {keyset_s:.1f}s", file=sys.stderr)
     if form == "ntt":
         ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
         jax.block_until_ready(ek.bk_ntt_kernel if ek.bk_ntt_kernel is not None

@@ -59,7 +59,7 @@ class EvalKey:
 
     bk_rows: jax.Array      # (n, kpl, k+1, N) int32 TGSW rows
     bk_variance: jax.Array  # () float32
-    ks_prepared: jax.Array  # (n_in*t*base, (n_out+1)*LIMBS) int8
+    ks_prepared: jax.Array  # (n_in*t*base, (n_out+1)*LIMBS) bf16 limbs
     ks: object              # KeySwitchKey (for metadata/variance)
     # Optional compact limb form for the fused Pallas blind rotation
     # ((n, (k+1)*LIMBS*kpl, N) int8, ~31 MB at 128-bit params); Toeplitz

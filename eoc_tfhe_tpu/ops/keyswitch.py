@@ -20,16 +20,25 @@ from . import polymul
 
 
 def prepare_keyswitch_matmul(ks: KeySwitchKey) -> jax.Array:
-    """Limb-decompose the packed ks table for int8 matmul.
+    """Limb-decompose the packed ks table for the MXU contraction.
 
-    Returns (n_in * t * base, (n_out+1) * LIMBS) int8 with the u=0 plane
-    zeroed (upstream skips aij == 0 instead of subtracting an encryption of
-    zero; zeroing the column reproduces that exactly).
+    Returns (n_in * t * base, (n_out+1) * LIMBS) **bfloat16** holding the
+    signed int8 limbs, with the u=0 plane zeroed (upstream skips aij == 0
+    instead of subtracting an encryption of zero; zeroing the column
+    reproduces that exactly).
+
+    Why bf16: the contraction is onehot{0,1} x limb[-128..127] summed over
+    n_in*t nonzeros — every operand is exactly representable in bf16 and
+    every f32 partial sum is bounded by n_in*t*127 < 2^24, so a bf16 x bf16
+    -> f32 MXU matmul is EXACT while running at full MXU rate (the int8 x
+    int8 dot was not lowered to the MXU int8 path by XLA and measured ~40 ms
+    at B=2048 on v5e; the bf16 form is ~1 ms).
     """
     n_in, t, base, m = ks.ks.shape
     table = ks.ks.at[:, :, 0, :].set(0)
     limbs = polymul.decompose_signed_limbs(table)      # (n_in, t, base, m, L)
-    return limbs.astype(jnp.int8).reshape(n_in * t * base, m * polymul.LIMBS)
+    return limbs.astype(jnp.bfloat16).reshape(n_in * t * base,
+                                              m * polymul.LIMBS)
 
 
 def keyswitch_digits(a: jax.Array, t: int, basebit: int) -> jax.Array:
@@ -62,12 +71,15 @@ def keyswitch_apply(ct_extracted: LweCiphertext, ks: KeySwitchKey,
 
     digits = keyswitch_digits(ct_extracted.a, t, basebit)          # (..., n_in, t)
     u = jnp.arange(base, dtype=jnp.int32)
-    onehot = (digits[..., None] == u).astype(jnp.int8)             # (..., n_in, t, base)
+    onehot = (digits[..., None] == u).astype(jnp.bfloat16)         # (..., n_in, t, base)
     batch_shape = digits.shape[:-2]
     x8 = onehot.reshape((-1, n_in * t * base))
-    z = jax.lax.dot_general(x8, prepared, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)      # (B, m*L)
-    z = z.reshape(batch_shape + (m, polymul.LIMBS))
+    # bf16 x bf16 -> f32 is exact here (see prepare_keyswitch_matmul) and
+    # hits the MXU; the f32 sums are exact integers, so the cast is exact.
+    z = jax.lax.dot_general(x8, prepared.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)    # (B, m*L)
+    z = z.astype(jnp.int32).reshape(batch_shape + (m, polymul.LIMBS))
     delta = polymul.recombine_limbs(z, axis=-1)                    # (..., m)
 
     a = (-delta[..., :n_out]).astype(jnp.int32)

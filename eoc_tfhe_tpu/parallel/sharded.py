@@ -47,11 +47,13 @@ def _keyswitch_tp(u: LweCiphertext, ks_prepared_local: jax.Array,
     a_local = jax.lax.dynamic_slice_in_dim(u.a, idx * n_local, n_local, axis=-1)
     digits = keyswitch_digits(a_local, t, basebit)             # (..., n_local, t)
     uvals = jnp.arange(base, dtype=jnp.int32)
-    onehot = (digits[..., None] == uvals).astype(jnp.int8)
+    onehot = (digits[..., None] == uvals).astype(jnp.bfloat16)
     x8 = onehot.reshape((-1, n_local * t * base))
-    z = jax.lax.dot_general(x8, ks_prepared_local, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    z = z.reshape(u.b.shape + (m, polymul.LIMBS))
+    # exact bf16 MXU contraction (see ops/keyswitch.prepare_keyswitch_matmul)
+    z = jax.lax.dot_general(x8, ks_prepared_local.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = z.astype(jnp.int32).reshape(u.b.shape + (m, polymul.LIMBS))
     delta = polymul.recombine_limbs(z, axis=-1)
     delta = jax.lax.psum(delta, axis)                           # exact int32 psum
 

@@ -45,7 +45,7 @@ EVAL_KEY_FORMS = ("ntt_kernel", "ntt_scan", "compact", "rows")
 #: Kernel-key layout version — bump when the fused kernel's key layout or
 #: its NTT plan encoding changes, so stale disk caches can never load
 #: (round-2 ADVICE medium finding).
-KERNEL_KEY_LAYOUT_VERSION = 3
+KERNEL_KEY_LAYOUT_VERSION = 4   # v4: DMA-tile-aligned padded key minors
 
 
 @jax.tree_util.register_dataclass
@@ -164,8 +164,11 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     cache_dir = os.environ.get("EOC_NTT_KEY_CACHE")
     n, J, U, N = ek.bk_rows.shape
     if kernel:
-        expected_shape = (int(n), len(ctx.primes), ctx.F, ctx.J * ctx.R,
-                          2 * ctx.key_limbs * int(U) * ctx.R)
+        K = ctx.J * ctx.R
+        M = ctx.key_limbs * int(U) * ctx.R
+        Kp = -(-K // 32) * 32
+        Mp = -(-M // 64) * 64
+        expected_shape = (int(n), len(ctx.primes), ctx.F, Kp, 2 * Mp)
     if cache_dir:
         import hashlib
         bk_np = np.asarray(ek.bk_rows)
@@ -197,14 +200,16 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         from ..ops import pallas_ntt_blindrot
         key_dev = ntt.prepare_key_ntt(jnp.asarray(ek.bk_rows), ctx,
                                       variance=ek.bk_variance)
-        ek.bk_ntt_kernel = pallas_ntt_blindrot.prepare_kernel_key(key_dev, ctx)
+        ek.bk_ntt_kernel = pallas_ntt_blindrot2.pad_kernel_key(
+            pallas_ntt_blindrot.prepare_kernel_key(key_dev, ctx))
         jax.block_until_ready(ek.bk_ntt_kernel)
         if cache_path:
             # cache write would pull 743 MB back through the relay — skip.
             pass
         return _check_eval_key(ek)
     if kernel:
-        T8c = ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx)
+        T8c = pallas_ntt_blindrot2.pad_kernel_key(
+            ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx))
         assert T8c.shape == expected_shape, (T8c.shape, expected_shape)
         ek.bk_ntt_kernel = jnp.asarray(T8c)
     else:

@@ -111,6 +111,35 @@ def _split8(x):
     return lo.astype(_I8), hi.astype(_I8)
 
 
+def pad_kernel_key(T8k: jax.Array | np.ndarray):
+    """Pad a (n, P, F, K, 2M) kernel key to DMA-tile-aligned minors
+    (n, P, F, Kp, 2*Mp) with Kp = K rounded up to 32 and Mp = M rounded up
+    to 64: int8 VMEM tiles are (32, 128), and a non-aligned block minor
+    forces the per-step key stream into strided row-by-row DMA — measured
+    ~8-20 GB/s effective on v5e, which made the whole kernel DMA-bound
+    (round-3 finding; the padded layout streams at full HBM rate).  Pad
+    rows/columns are zeros: zero digit rows contribute nothing to the
+    contraction and the padded output columns are sliced off.
+    """
+    xp = jnp if isinstance(T8k, jax.Array) else np
+    n, P, F, K, M2 = T8k.shape
+    M = M2 // 2
+    Kp = -(-K // 32) * 32
+    Mp = -(-M // 64) * 64
+    if (Kp, Mp) == (K, M):
+        return T8k
+    out_shape = (n, P, F, Kp, 2 * Mp)
+    if xp is np:
+        out = np.zeros(out_shape, np.int8)
+        out[:, :, :, :K, :M] = T8k[..., :M]
+        out[:, :, :, :K, Mp:Mp + M] = T8k[..., M:]
+        return out
+    lo = T8k[..., :M]
+    hi = T8k[..., M:]
+    pad_k = [(0, 0)] * 3 + [(0, Kp - K), (0, Mp - M)]
+    return jnp.concatenate([jnp.pad(lo, pad_k), jnp.pad(hi, pad_k)], axis=-1)
+
+
 def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                              T8k: jax.Array, ctx: ntt.NttContext,
                              params: GateBootstrappingParams,
@@ -121,19 +150,24 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     Args:
       acc0: (B, k+1, N) int32 initial accumulator (natural coeff order).
       bara: (n, B) int32 rotation amounts in [0, 2N).
-      T8k:  (n, P, F, J*R, 2*L*(k+1)*R) int8 (``prepare_kernel_key`` layout,
-            built from a context whose primes match ``ctx``).
+      T8k:  (n, P, F, Kp, 2*Mp) int8 — ``prepare_kernel_key`` layout, padded
+            by :func:`pad_kernel_key` (unpadded keys are accepted and padded
+            here), primes matching ``ctx``.
     Returns (B, k+1, N) int32.
     """
     B, U, N = acc0.shape
-    n, P, F, K, M2 = T8k.shape
     R, L = ctx.R, ctx.key_limbs
     S = R
     tg = params.tgsw_params
     J, tgl = tg.kpl, tg.l
     M = L * U * R
     US = U * S
-    assert F == ctx.F and K == J * R and M2 == 2 * M and N == R * F
+    K = J * R
+    if T8k.shape[3] == K and T8k.shape[4] == 2 * M:
+        T8k = pad_kernel_key(T8k)
+    n, P, F, Kp, Mp2 = T8k.shape
+    Mp = Mp2 // 2
+    assert F == ctx.F and Kp >= K and Mp >= M and N == R * F
     assert P == len(ctx.primes) == 2
     sb = (R - 1).bit_length()          # log2 R  (s-stages)
     fb = (F - 1).bit_length()          # log2 F  (t-stages)
@@ -195,7 +229,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
         d = (x - a).astype(_I32)                    # (F, U, S, Bt)
 
-        # ---- gadget decomposition -> (F, J*S, Bt) int8, rows (j, s) ----
+        # ---- gadget decomposition -> (F, Kp, Bt) int8, rows (j, s) ----
         du = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
         pieces = []
         for u in range(U):
@@ -203,7 +237,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 dig = ((du[:, u] >> jnp.uint32(32 - (li + 1) * tg.Bgbit))
                        & jnp.uint32(tg.maskMod)).astype(_I32) - jnp.int32(tg.halfBg)
                 pieces.append(dig)                  # (F, S, Bt)
-        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, K, Bt)
+        if Kp > K:
+            pieces.append(jnp.zeros((F, Kp - K, Bt), _I32))
+        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, Kp, Bt)
 
         # ---- per prime: fwd NTT -> pointwise -> inverse, Bt on lanes ----
         vp = []
@@ -218,11 +254,11 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
             zz = jax.lax.dot_general(
                 T_ref[0, pi], d8, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)        # (F, 2M, 2Bt)
+                preferred_element_type=_I32)        # (F, 2Mp, 2Bt)
             P00 = zz[:, :M, :Bt]
-            P01 = zz[:, M:, :Bt]
+            P01 = zz[:, Mp:Mp + M, :Bt]
             P10 = zz[:, :M, Bt:]
-            P11 = zz[:, M:, Bt:]
+            P11 = zz[:, Mp:Mp + M, Bt:]
             if pw_single[pi]:
                 chat = _bal(P00 + ((P01 + P10) << 8)
                             + P11 * jnp.int32(c16[pi]), p)
@@ -273,7 +309,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     acc0p = to_perm(acc0)
     bara3 = bara.astype(jnp.int32)[:, None, :]       # (n, 1, B)
 
-    flops = 2 * n * B * P * (2 * F * F * K + F * K * 2 * M * 2 + 2 * F * F * 2 * M)
+    flops = 2 * n * B * P * (2 * F * F * Kp + F * Kp * 2 * Mp * 2
+                             + 2 * F * F * 2 * M)
     grid = (n_btiles, n)
     out = pl.pallas_call(
         kernel,
@@ -284,7 +321,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, U, S, Bt), lambda bt, i: (0, 0, 0, bt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, F, K, 2 * M), lambda bt, i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, P, F, Kp, 2 * Mp), lambda bt, i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -37,8 +37,8 @@ def run(R):
     ctx = ntt.make_context(N=N, J=tg.kpl, halfBg=tg.halfBg, R=R,
                            primes=p2.KERNEL_PRIMES)
     F = ctx.F
-    K = tg.kpl * R
-    M = ctx.key_limbs * (k + 1) * R
+    K = -(-(tg.kpl * R) // 32) * 32                       # padded Kp
+    M = -(-(ctx.key_limbs * (k + 1) * R) // 64) * 64      # padded Mp
     ts = {}
     for n in (630, 1260):
         T8k = jax.random.randint(jax.random.key(1), (n, 2, F, K, 2 * M),

@@ -197,11 +197,18 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
 
     def kernel(bara_ref, acc0_ref, T_ref, wf_ref, wi_ref, out_ref, acc):
-        i = pl.program_id(1)
+        # Grid is (n, n_btiles) with the STEP on the outer axis: the 2 MB key
+        # tile for step i is DMA'd once and reused by every batch tile (the
+        # whole batch stays resident in the acc scratch), so key traffic is
+        # independent of B — at (bt, i) order a B=2048 batch would re-stream
+        # the full key 16x.
+        i = pl.program_id(0)
+        bt = pl.program_id(1)
+        sl = pl.ds(pl.multiple_of(bt * Bt, Bt), Bt)
 
         @pl.when(i == 0)
         def _():
-            acc[:] = acc0_ref[:]
+            acc[:, :, :, sl] = acc0_ref[:]
 
         bara_i = bara_ref[:]                        # (1, 1, Bt) int32 [0,2N)
 
@@ -209,7 +216,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             return (((bara_i >> k) & 1) > 0).reshape(1, 1, 1, Bt)
 
         # ---- rotation barrel: x = X^a * acc, a = a_t*R + a_s ----
-        a = acc[:]                                  # (F, U, S, Bt)
+        a = acc[:, :, :, sl]                        # (F, U, S, Bt)
         x = a
         siota = jax.lax.broadcasted_iota(_I32, (1, 1, S, 1), 2)
         fiota = jax.lax.broadcasted_iota(_I32, (F, 1, 1, 1), 0)
@@ -291,11 +298,11 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             out_t = (out_t
                      + (V[:, li * US:(li + 1) * US, :]
                         << jnp.int32(kbits * li))).astype(_I32)  # (F, US, Bt)
-        acc[:] = (acc[:] + out_t.reshape(F, U, S, Bt)).astype(_I32)
+        acc[:, :, :, sl] = (a + out_t.reshape(F, U, S, Bt)).astype(_I32)
 
         @pl.when(i == n - 1)
         def _():
-            out_ref[:] = acc[:]
+            out_ref[:] = acc[:, :, :, sl]
 
     # ---- host-side plumbing: natural (B, U, N) <-> (F, U, S, B) ----
     def to_perm(x):                                  # N index m = t*R + s
@@ -309,38 +316,55 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     acc0p = to_perm(acc0)
     bara3 = bara.astype(jnp.int32)[:, None, :]       # (n, 1, B)
 
-    flops = 2 * n * B * P * (2 * F * F * Kp + F * Kp * 2 * Mp * 2
-                             + 2 * F * F * 2 * M)
-    grid = (n_btiles, n)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((F, U, S, B), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Bt), lambda bt, i: (i, 0, bt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, U, S, Bt), lambda bt, i: (0, 0, 0, bt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, F, Kp, 2 * Mp), lambda bt, i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 2 * F, F), lambda bt, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((F, U, S, Bt), lambda bt, i: (0, 0, 0, bt),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((F, U, S, Bt), jnp.int32),        # acc
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=T8k.size,
-                                      transcendentals=0),
-        interpret=interpret,
-    )(bara3, acc0p, T8k, WfT, Wi)
+    # The whole per-call batch is VMEM-resident (16 MB at Bc=2048); larger
+    # batches run as sequential chunked calls.
+    MAX_RESIDENT_B = 2048
+    Bc = min(B, MAX_RESIDENT_B) if not interpret else B
+    assert B % Bc == 0
+
+    def call_one(acc0p_c, bara3_c):
+        n_bt = Bc // Bt
+        flops = 2 * n * Bc * P * (2 * F * F * Kp + F * Kp * 2 * Mp * 2
+                                  + 2 * F * F * 2 * M)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((F, U, S, Bc), jnp.int32),
+            grid=(n, n_bt),
+            in_specs=[
+                pl.BlockSpec((1, 1, Bt), lambda i, bt: (i, 0, bt),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, U, S, Bt), lambda i, bt: (0, 0, 0, bt),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, F, Kp, 2 * Mp),
+                             lambda i, bt: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 2 * F, F), lambda i, bt: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 2 * F, F), lambda i, bt: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((F, U, S, Bt), lambda i, bt: (0, 0, 0, bt),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((F, U, S, Bc), jnp.int32),    # resident batch acc
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(flops=flops,
+                                          bytes_accessed=T8k.size,
+                                          transcendentals=0),
+            interpret=interpret,
+        )(bara3_c, acc0p_c, T8k, WfT, Wi)
+
+    if B == Bc:
+        out = call_one(acc0p, bara3)
+    else:
+        outs = [call_one(acc0p[..., c * Bc:(c + 1) * Bc],
+                         bara3[..., c * Bc:(c + 1) * Bc])
+                for c in range(B // Bc)]
+        out = jnp.concatenate(outs, axis=-1)
     return from_perm(out)
 
 

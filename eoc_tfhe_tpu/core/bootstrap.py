@@ -198,10 +198,14 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     # numpy fast path wins (no XLA compile of the build graph).
     if kernel and jax.default_backend() == "tpu":
         from ..ops import pallas_ntt_blindrot
-        key_dev = ntt.prepare_key_ntt(jnp.asarray(ek.bk_rows), ctx,
-                                      variance=ek.bk_variance)
-        ek.bk_ntt_kernel = pallas_ntt_blindrot2.pad_kernel_key(
-            pallas_ntt_blindrot.prepare_kernel_key(key_dev, ctx))
+
+        @jax.jit
+        def build(rows):
+            key_dev = ntt.prepare_key_ntt(rows, ctx, variance=0.0)
+            return pallas_ntt_blindrot2.pad_kernel_key(
+                pallas_ntt_blindrot.prepare_kernel_key(key_dev, ctx))
+
+        ek.bk_ntt_kernel = build(jnp.asarray(ek.bk_rows))
         jax.block_until_ready(ek.bk_ntt_kernel)
         if cache_path:
             # cache write would pull 743 MB back through the relay — skip.

@@ -236,7 +236,10 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
         d = (x - a).astype(_I32)                    # (F, U, S, Bt)
 
-        # ---- gadget decomposition -> (F, Kp, Bt) int8, rows (j, s) ----
+        # ---- gadget decomposition -> (F, K, Bt) int8, rows (j, s) ----
+        # (the key's Kp/Mp padding exists for DMA tile alignment only; all
+        # dots below slice the valid K rows / M columns so the MXU outputs
+        # and the VMEM elementwise traffic stay at the compact sizes)
         du = d.astype(jnp.uint32) + jnp.uint32(tg.offset)
         pieces = []
         for u in range(U):
@@ -244,9 +247,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 dig = ((du[:, u] >> jnp.uint32(32 - (li + 1) * tg.Bgbit))
                        & jnp.uint32(tg.maskMod)).astype(_I32) - jnp.int32(tg.halfBg)
                 pieces.append(dig)                  # (F, S, Bt)
-        if Kp > K:
-            pieces.append(jnp.zeros((F, Kp - K, Bt), _I32))
-        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, Kp, Bt)
+        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, K, Bt)
 
         # ---- per prime: fwd NTT -> pointwise -> inverse, Bt on lanes ----
         vp = []
@@ -259,13 +260,17 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=2)  # (F, K, 2Bt)
 
-            zz = jax.lax.dot_general(
-                T_ref[0, pi], d8, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)        # (F, 2Mp, 2Bt)
-            P00 = zz[:, :M, :Bt]
-            P01 = zz[:, Mp:Mp + M, :Bt]
-            P10 = zz[:, :M, Bt:]
-            P11 = zz[:, Mp:Mp + M, Bt:]
+            zz_lo = jax.lax.dot_general(
+                T_ref[0, pi, :, :K, :M], d8, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)        # (F, M, 2Bt)
+            zz_hi = jax.lax.dot_general(
+                T_ref[0, pi, :, :K, Mp:Mp + M], d8,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)        # (F, M, 2Bt)
+            P00 = zz_lo[:, :, :Bt]
+            P01 = zz_hi[:, :, :Bt]
+            P10 = zz_lo[:, :, Bt:]
+            P11 = zz_hi[:, :, Bt:]
             if pw_single[pi]:
                 chat = _bal(P00 + ((P01 + P10) << 8)
                             + P11 * jnp.int32(c16[pi]), p)

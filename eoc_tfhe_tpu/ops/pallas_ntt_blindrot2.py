@@ -256,7 +256,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             q = jax.lax.dot_general(
                 wf_ref[pi], x8, (((1,), (0,)), ((), ())),
                 preferred_element_type=_I32)        # (2F, K, Bt)
-            dhat = _bal(q[:F] + (q[F:] << 8), p)    # (F, K, Bt) strict
+            # int16 narrowing: strict-balanced residues fit int16; halves the
+            # VMEM traffic of the transient (the kernel is traffic-bound).
+            dhat = _bal(q[:F] + (q[F:] << 8), p).astype(jnp.int16)
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=2)  # (F, K, 2Bt)
 
@@ -277,6 +279,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             else:
                 chat = _bal(P00 + (_bal(P01 + P10, p) << 8)
                             + _bal(P11, p) * jnp.int32(c16[pi]), p)
+            chat = chat.astype(jnp.int16)
 
             clo, chi = _split8(chat)
             c8 = jnp.concatenate([clo, chi], axis=1)     # (F, 2M, Bt)

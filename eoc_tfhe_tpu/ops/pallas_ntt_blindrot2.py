@@ -106,8 +106,11 @@ def _bal(z, p, strict=True):
 
 
 def _split8(x):
-    lo = (((x + 128) & 255) - 128)
-    hi = (x - lo) >> 8
+    # Arithmetic in int32: Mosaic cannot legalize i16 shifts (arith.shrui);
+    # narrow inputs are upcast in registers, only the limbs hit VMEM.
+    x32 = x.astype(_I32)
+    lo = (((x32 + 128) & 255) - 128)
+    hi = (x32 - lo) >> 8
     return lo.astype(_I8), hi.astype(_I8)
 
 

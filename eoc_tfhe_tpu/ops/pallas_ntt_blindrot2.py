@@ -219,20 +219,23 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             return (((bara_i >> k) & 1) > 0).reshape(1, 1, 1, Bt)
 
         # ---- rotation barrel: x = X^a * acc, a = a_t*R + a_s ----
+        # pltpu.roll is the native lane/sublane rotate; jnp.roll lowers to
+        # slice+concat copies.
         a = acc[:, :, :, sl]                        # (F, U, S, Bt)
         x = a
         siota = jax.lax.broadcasted_iota(_I32, (1, 1, S, 1), 2)
         fiota = jax.lax.broadcasted_iota(_I32, (F, 1, 1, 1), 0)
+        roll = pltpu.roll if not interpret else jnp.roll
         for k in range(sb):                         # X^{a_s}: subpoly shift
             sh = 1 << k
-            r1 = jnp.roll(x, sh, axis=2)
-            rz = jnp.roll(r1, 1, axis=0)            # Z-carry on wrapped rows
+            r1 = roll(x, sh, 2)
+            rz = roll(r1, 1, 0)                     # Z-carry on wrapped rows
             rz = jnp.where(fiota < 1, -rz, rz)
             rolled = jnp.where(siota < sh, rz, r1)
             x = jnp.where(bit(k), rolled, x)
         for k in range(fb):                         # Z^{a_t mod F}
             c = 1 << k
-            r1 = jnp.roll(x, c, axis=0)
+            r1 = roll(x, c, 0)
             rolled = jnp.where(fiota < c, -r1, r1)
             x = jnp.where(bit(sb + k), rolled, x)
         x = jnp.where(bit(sb + fb), -x, x)          # Z^F = -1

@@ -193,6 +193,10 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     inv_bound = [F * 128 * 128 * 513 + abs(c16[i]) * ((primes[i] - 1) // 2 + 92)
                  for i in range(P)]
     inv_single = [b < 2 ** 31 - 2 ** 28 for b in inv_bound]
+    # Prime-batched single-op pipeline requires the single-reduce audits to
+    # hold for BOTH primes (true for KERNEL_PRIMES); otherwise the per-prime
+    # loop with its extra inner reductions runs.
+    batched_primes = P == 2 and all(pw_single) and all(inv_single)
     crt_inv = int(ntt._balanced_np(np.int64(pow(p1, p2 - 2, p2)), p2))
     kbits = ctx.key_limb_bits
 
@@ -255,9 +259,61 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 pieces.append(dig)                  # (F, S, Bt)
         x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, K, Bt)
 
-        # ---- per prime: fwd NTT -> pointwise -> inverse, Bt on lanes ----
-        vp = []
-        for pi in range(P):
+        # ---- both primes batched: fwd NTT -> pointwise -> inverse ----
+        # One op per stage for BOTH primes (prime axis leading, reductions
+        # vectorized over a per-prime constant vector) — halves the Mosaic
+        # op count of the NTT pipeline relative to a per-prime loop.
+        if batched_primes:
+            # per-prime constant vectors built from iota + scalar selects
+            # (pallas_call rejects captured array constants of any kind)
+            pidx = jax.lax.broadcasted_iota(_I32, (P, 1, 1, 1), 0)
+            first = pidx == 0
+            pvi = jnp.where(first, jnp.int32(p1), jnp.int32(p2))
+            pvf = jnp.where(first, np.float32(1.0 / p1), np.float32(1.0 / p2))
+            halfv = (pvi - 1) // 2
+            c16v = jnp.where(first, jnp.int32(c16[0]), jnp.int32(c16[1]))
+
+            def balv(z, strict=True):
+                zf = z.astype(jnp.float32)
+                qq = jnp.round(zf * pvf).astype(_I32)
+                r = z - qq * pvi
+                if strict:
+                    r = r - pvi * (r > halfv).astype(_I32)
+                    r = r + pvi * (r < -halfv).astype(_I32)
+                return r
+
+            x8b = jnp.broadcast_to(x8[None], (P,) + x8.shape)
+            q = jax.lax.dot_general(
+                wf_ref[:], x8b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)            # (P, 2F, K, Bt)
+            dhat = balv(q[:, :F] + (q[:, F:] << 8)).astype(jnp.int16)
+            lo, hi = _split8(dhat)
+            d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
+
+            zz_lo = jax.lax.dot_general(
+                T_ref[0, :, :, :K, :M], d8,
+                (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=_I32)            # (P, F, M, 2Bt)
+            zz_hi = jax.lax.dot_general(
+                T_ref[0, :, :, :K, Mp:Mp + M], d8,
+                (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=_I32)
+            chat = balv(zz_lo[..., :Bt]
+                        + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
+                        + zz_hi[..., Bt:] * c16v).astype(jnp.int16)
+
+            clo, chi = _split8(chat)
+            c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
+            qv = jax.lax.dot_general(
+                wi_ref[:], c8, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)            # (P, 2F, 2M, Bt)
+            vpv = balv(qv[:, :F, :M]
+                       + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
+                       + balv(qv[:, F:, M:], strict=False) * c16v)
+            vp = [vpv[0], vpv[1]]
+        else:
+            vp = []
+        for pi in range(P if not batched_primes else 0):
             p = primes[pi]
             q = jax.lax.dot_general(
                 wf_ref[pi], x8, (((1,), (0,)), ((), ())),

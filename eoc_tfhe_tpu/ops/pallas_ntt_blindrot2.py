@@ -290,14 +290,17 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
+            # Mosaic supports one matmul batch dim: flatten (P, F) -> P*F
+            # (major-axis reshape, free).
+            d8f = d8.reshape(P * F, K, 2 * Bt)
+            T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
+            T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
             zz_lo = jax.lax.dot_general(
-                T_ref[0, :, :, :K, :M], d8,
-                (((2,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=_I32)            # (P, F, M, 2Bt)
+                T_lo, d8f, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
             zz_hi = jax.lax.dot_general(
-                T_ref[0, :, :, :K, Mp:Mp + M], d8,
-                (((2,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=_I32)
+                T_hi, d8f, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
             chat = balv(zz_lo[..., :Bt]
                         + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
                         + zz_hi[..., Bt:] * c16v).astype(jnp.int16)

@@ -57,8 +57,12 @@ bara = jnp.asarray(r.integers(0, 2 * N, (n, B), dtype=np.int64)
 fn = jax.jit(lambda a, b, t8: pnb.blind_rotate_ntt_pallas(
     a, b, t8, ctx, p, block_b=block_b, interpret=False)[:, 0, :1])
 t0 = time.perf_counter()
-out = np.asarray(fn(acc0, bara, T8k))  # host transfer: the relay's
-# block_until_ready can return before device completion, inflating rates
+out = np.asarray(fn(acc0, bara, T8k))
+# NB: jax.block_until_ready DOES wait for device completion (verified round
+# 3, scripts/probes/README.md); the host transfer here is kept as a simple
+# additional barrier.  The jitted fn returns only a [:, 0, :1] slice, so the
+# checksum below covers that slice only — not comparable to full-output
+# checksums from earlier revisions of this script.
 print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 
 iters = 5

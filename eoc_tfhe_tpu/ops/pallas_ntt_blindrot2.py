@@ -128,9 +128,13 @@ def _bal(z, p, strict=True):
 def _split8(x):
     # Arithmetic in int32: Mosaic cannot legalize i16 shifts (arith.shrui);
     # narrow inputs are upcast in registers, only the limbs hit VMEM.
-    x32 = x.astype(_I32)
-    lo = (((x32 + 128) & 255) - 128)
-    hi = (x32 - lo) >> 8
+    # 4-op form: for x = 256h + l with l in [-128, 127], x + 128 has the
+    # unsigned low byte l + 128, so an arithmetic >> 8 yields h directly.
+    # Valid for |x| <= 32639 — including LAZY balanced residues
+    # (|x| <= p/2 + 92 <= 32348 for p <= 64513).
+    t = x.astype(_I32) + 128
+    hi = t >> 8
+    lo = (t & 255) - 128
     return lo.astype(_I8), hi.astype(_I8)
 
 
@@ -302,11 +306,18 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                     r = r + pvi * (r < -halfv).astype(_I32)
                 return r
 
+            # Lazy (non-strict) reductions throughout: |r| <= p/2 + 92 <=
+            # 32348 still fits the int8 split domain (32639, hi limb <= 127),
+            # every downstream overflow audit tolerates the +92 slack, and
+            # the CRT stays exact with lazy residues (|V| <= p/2+92 +
+            # (p2/2)*p1 ~ 1.047e9 and |c| <= 4.03e8, so |V - c| < p1*p2
+            # forces V = c).  Only the CRT quotient t stays strict.
             x8b = jnp.broadcast_to(x8[None], (P,) + x8.shape)
             q = jax.lax.dot_general(
                 wf_ref[:], x8b, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=_I32)            # (P, 2F, K, Bt)
-            dhat = balv(q[:, :F] + (q[:, F:] << 8)).astype(jnp.int16)
+            dhat = balv(q[:, :F] + (q[:, F:] << 8),
+                        strict=False).astype(jnp.int16)
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
@@ -323,7 +334,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
             chat = balv(zz_lo[..., :Bt]
                         + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
-                        + zz_hi[..., Bt:] * c16v).astype(jnp.int16)
+                        + zz_hi[..., Bt:] * c16v,
+                        strict=False).astype(jnp.int16)
 
             clo, chi = _split8(chat)
             c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
@@ -332,7 +344,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 preferred_element_type=_I32)            # (P, 2F, 2M, Bt)
             vpv = balv(qv[:, :F, :M]
                        + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
-                       + balv(qv[:, F:, M:], strict=False) * c16v)
+                       + balv(qv[:, F:, M:], strict=False) * c16v,
+                       strict=False)
             vp = [vpv[0], vpv[1]]
         else:
             vp = []

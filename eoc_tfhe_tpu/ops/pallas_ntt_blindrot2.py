@@ -312,12 +312,13 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             # the CRT stays exact with lazy residues (|V| <= p/2+92 +
             # (p2/2)*p1 ~ 1.047e9 and |c| <= 4.03e8, so |V - c| < p1*p2
             # forces V = c).  Only the CRT quotient t stays strict.
-            x8b = jnp.broadcast_to(x8[None], (P,) + x8.shape)
+            # fwd: both primes' matrices stacked on ROWS — one unbatched
+            # 2D@3D dot, no rhs broadcast materialization.
             q = jax.lax.dot_general(
-                wf_ref[:], x8b, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)            # (P, 2F, K, Bt)
-            dhat = balv(q[:, :F] + (q[:, F:] << 8),
-                        strict=False).astype(jnp.int16)
+                wf_ref[:].reshape(P * 2 * F, F), x8,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32).reshape(P, 2 * F, K, Bt)
+            dhat = balv(q[:, :F] + (q[:, F:] << 8), strict=False)
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
@@ -335,7 +336,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             chat = balv(zz_lo[..., :Bt]
                         + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
                         + zz_hi[..., Bt:] * c16v,
-                        strict=False).astype(jnp.int16)
+                        strict=False)
 
             clo, chi = _split8(chat)
             c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
@@ -397,7 +398,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                                + _bal(Q11, p) * jnp.int32(c16[pi]), p))
 
         # ---- CRT + key-limb recombination + accumulate ----
-        t = _bal((vp[1] - vp[0]) * jnp.int32(crt_inv), p2)
+        # lazy t is safe: |V| <= (p/2+92) + (p2/2+92)*p1 ~ 1.05e9 < 2^31 and
+        # |V - c| < p1*p2 still forces V = c exactly.
+        t = _bal((vp[1] - vp[0]) * jnp.int32(crt_inv), p2, strict=False)
         V = (vp[0] + t * jnp.int32(p1)).astype(_I32)     # (F, M, Bt) exact
         out_t = V[:, :US, :]
         for li in range(1, L):

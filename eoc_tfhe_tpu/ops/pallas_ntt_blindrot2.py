@@ -319,37 +319,33 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=_I32).reshape(P, 2 * F, K, Bt)
             dhat = balv(q[:, :F] + (q[:, F:] << 8), strict=False)
-            dlo, dhi = _split8(dhat)                    # (P, F, K, Bt) each
+            lo, hi = _split8(dhat)
+            d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
             # Mosaic supports one matmul batch dim: flatten (P, F) -> P*F
-            # (major-axis reshape, free).  Quadrants as four separate dots —
-            # no limb concat, no output lane slicing.
-            dlo_f = dlo.reshape(P * F, K, Bt)
-            dhi_f = dhi.reshape(P * F, K, Bt)
+            # (major-axis reshape, free).
+            d8f = d8.reshape(P * F, K, 2 * Bt)
             T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
             T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
+            zz_lo = jax.lax.dot_general(
+                T_lo, d8f, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
+            zz_hi = jax.lax.dot_general(
+                T_hi, d8f, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
+            chat = balv(zz_lo[..., :Bt]
+                        + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
+                        + zz_hi[..., Bt:] * c16v,
+                        strict=False)
 
-            def pw(Tm, dm):
-                return jax.lax.dot_general(
-                    Tm, dm, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=_I32).reshape(P, F, M, Bt)
-
-            P00 = pw(T_lo, dlo_f)
-            P01 = pw(T_hi, dlo_f)
-            P10 = pw(T_lo, dhi_f)
-            P11 = pw(T_hi, dhi_f)
-            chat = balv(P00 + ((P01 + P10) << 8) + P11 * c16v, strict=False)
-
-            clo, chi = _split8(chat)                    # (P, F, M, Bt) each
-            qv_lo = jax.lax.dot_general(
-                wi_ref[:], clo, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)            # (P, 2F, M, Bt)
-            qv_hi = jax.lax.dot_general(
-                wi_ref[:], chi, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)
-            vpv = balv(qv_lo[:, :F]
-                       + ((qv_hi[:, :F] + qv_lo[:, F:]) << 8)
-                       + balv(qv_hi[:, F:], strict=False) * c16v,
+            clo, chi = _split8(chat)
+            c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
+            qv = jax.lax.dot_general(
+                wi_ref[:], c8, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=_I32)            # (P, 2F, 2M, Bt)
+            vpv = balv(qv[:, :F, :M]
+                       + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
+                       + balv(qv[:, F:, M:], strict=False) * c16v,
                        strict=False)
             vp = [vpv[0], vpv[1]]
         else:

@@ -8,7 +8,7 @@ vs_baseline is relative to the BASELINE.md target (>= 10k batched gate
 bootstraps/s/chip; the reference publishes no numbers of its own —
 BASELINE.json "published": {}).
 
-Env knobs: EOC_BENCH_BATCH (default 256), EOC_BENCH_ITERS (default 4),
+Env knobs: EOC_BENCH_BATCH (default 2048), EOC_BENCH_ITERS (default 4),
 EOC_BENCH_PARAMS (128|80|test).
 """
 

@@ -45,10 +45,10 @@ Round-3 refinements on top (each measured on the real chip):
     to one matmul batch dim — Mosaic supports only one) and vectorized
     per-prime reduction constants.
 
-Measured roofline (see ``/root/repo/ROOFLINE.md``): ~57 us/step/tile on
-v5e, VMEM-traffic-bound (13% int8 MFU) — the 2-limb int8 structure of the
-exact-mod-2^32 arithmetic sets a dot-output-traffic floor of ~25-38
-us/step/tile on this chip generation.
+Measured roofline (see ``/root/repo/ROOFLINE.md``): ~41 us/step/tile on
+v5e after the lazy-reduction rework (dots ~10 us near MXU peak, barrel
+~2 us, elementwise combines ~29 us) — the limb-split elementwise chain the
+exact-mod-2^32 arithmetic forces is the VPU-bound floor (~32 us).
 
 Consumes the SAME key tensor layout as v1 ((n, P, F, J*R, 2*L*U*R) int8
 from ``prepare_kernel_key[_np]``, then padded), so key preparation is
@@ -205,7 +205,6 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
         interpret = jax.default_backend() != "tpu" or not mosaic_ok
     Bt = min(block_b, B) if not interpret else B
     assert B % Bt == 0
-    n_btiles = B // Bt
 
     primes = ctx.primes
     p1, p2 = primes

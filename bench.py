@@ -8,7 +8,7 @@ vs_baseline is relative to the BASELINE.md target (>= 10k batched gate
 bootstraps/s/chip; the reference publishes no numbers of its own —
 BASELINE.json "published": {}).
 
-Env knobs: EOC_BENCH_BATCH (default 2048), EOC_BENCH_ITERS (default 4),
+Env knobs: EOC_BENCH_BATCH (default 4096), EOC_BENCH_ITERS (default 4),
 EOC_BENCH_PARAMS (128|80|test).
 """
 
@@ -35,9 +35,10 @@ def main() -> None:
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
-    # Default batch 2048: the axon relay costs ~27 ms per dispatch
-    # (scripts/probes/tpu_probe5.py), so per-call work must dwarf it.
-    B = int(os.environ.get("EOC_BENCH_BATCH", "2048"))
+    # Default batch 4096 (two VMEM-resident 2048 chunks): the axon relay
+    # costs ~25 ms per dispatch (scripts/probes/tpu_probe5.py), so per-call
+    # work must dwarf it; 4096 measured ~4% over 2048.
+    B = int(os.environ.get("EOC_BENCH_BATCH", "4096"))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
     # ntt (exact CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
     form = os.environ.get("EOC_BENCH_FORM", "ntt")

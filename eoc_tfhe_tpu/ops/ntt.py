@@ -241,8 +241,10 @@ def balanced_reduce(z: jax.Array, p: int, strict: bool = True) -> jax.Array:
     f32 representation of z errs by <= 2^30.5 * 2^-24 = 91, and ties
     z/p = k + 1/2 are impossible for odd p), so one conditional correction
     yields the strict balanced representative |r| <= (p-1)/2.  With
-    ``strict=False`` the correction is skipped and |r| <= p/2 + 92 (callers
-    must tolerate the slack; int8 splits must NOT follow a lazy reduce).
+    ``strict=False`` the correction is skipped and |r| <= p/2 + 92; callers
+    must audit the slack.  NB an int8 split MAY follow a lazy reduce when
+    p/2 + 92 <= 32639 (true for every prime <= 65093, incl. both default
+    pairs) — the v3 kernel exploits exactly this (pallas_ntt_blindrot2).
     """
     zf = z.astype(jnp.float32)
     q = jnp.round(zf * np.float32(1.0 / p)).astype(_I32)

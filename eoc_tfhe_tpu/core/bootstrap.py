@@ -131,27 +131,35 @@ def prepare_eval_key_chunked(cloud: CloudKeySet,
 
 def prepare_eval_key_ntt(cloud: CloudKeySet,
                          params: GateBootstrappingParams,
-                         kernel: str | bool = "auto") -> EvalKey:
-    """Evaluation key in CRT-NTT form (``ops/ntt.py``) — the fast exact path.
+                         kernel: str | bool = "auto",
+                         rounded: bool = False) -> EvalKey:
+    """Evaluation key in CRT-NTT form (``ops/ntt.py``) — the fast path.
 
     The analog of the reference's FFT-converted ``LweBootstrappingKeyFFT``
     (upstream ``tfhe_createLweBootstrappingKey`` FFT conversion): the TGSW
     rows are limb-split, negacyclic-NTT'd per CRT prime, and expanded into
     the outer-twisted contraction tensor consumed by the hot loop.
 
-    ``kernel``: store the key in the fused v3 Pallas kernel layout
+    ``kernel``: store the key in the fused v3/v4 Pallas kernel layout
     (``ops/pallas_ntt_blindrot2``, prime pair ``KERNEL_PRIMES``) instead of
     the XLA-scan layout (``ntt.DEFAULT_PRIMES``).  "auto" enables it on TPU.
     The two paths are bit-exact against each other (tests/test_pallas_ntt.py).
+
+    ``rounded``: the v4 fast plan — key rounded to its top 32-rb bits so a
+    2-limb split meets the CRT bound (rb=8 at the 128-bit set).  The NTT
+    stays exact *on the rounded key*; the rounding error is an accounted
+    noise term (``bootstrap_woKS``) comparable to the inherent bootstrap
+    noise — the reference's own f64-FFT trade.  Decrypted outputs remain
+    bit-exact vs reference vectors (tests/test_reference_oracle.py).
     """
     from ..ops import ntt, pallas_ntt_blindrot2
     ek = prepare_eval_key(cloud)
     if kernel == "auto":
         kernel = jax.default_backend() == "tpu"
     if kernel:
-        ctx = pallas_ntt_blindrot2.kernel_context_for_params(params)
+        ctx = pallas_ntt_blindrot2.kernel_context_for_params(params, rounded)
     else:
-        ctx = ntt.context_for_params(params)
+        ctx = ntt.context_for_params(params, rounded)
     ek.ntt_ctx = ctx
     ek.form = "ntt_kernel" if kernel else "ntt_scan"
 
@@ -173,7 +181,8 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         import hashlib
         bk_np = np.asarray(ek.bk_rows)
         plan = (f"v{KERNEL_KEY_LAYOUT_VERSION}-p{'.'.join(map(str, ctx.primes))}"
-                f"-R{ctx.R}-L{ctx.key_limbs}b{ctx.key_limb_bits}")
+                f"-R{ctx.R}-L{ctx.key_limbs}b{ctx.key_limb_bits}"
+                f"-rb{ctx.key_round_bits}")
         h = hashlib.sha1(bk_np.tobytes() + plan.encode()).hexdigest()[:16]
         form = "kern" if kernel else "scan"
         cache_path = os.path.join(cache_dir, f"ntt-{form}-{plan}-{h}.npy")
@@ -351,6 +360,17 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     step_var = (jnp.float32(tg.kpl * N * d2) * ek.bk_variance
                 + jnp.float32(dec_step))
     var = jnp.float32(params.n) * step_var
+    if ek.ntt_ctx is not None and ek.ntt_ctx.key_round_bits:
+        # v4 rounded-key plan: the key is rounded to its top 32-rb bits
+        # before the NTT limb split (ops/ntt.round_key) — the error is
+        # uniform in +-2^(rb-1) int32 units per key coefficient, fixed per
+        # key, convolved with the gadget digits over the n steps.  Same
+        # worst-case digit convention (halfBg^2) as the compact-form term
+        # below; the reference's analog is its f64 FFT rounding.
+        rb = ek.ntt_ctx.key_round_bits
+        round_var = (params.n * tg.kpl * N * float(tg.halfBg ** 2)
+                     * (float(1 << (2 * rb)) / 12.0) / float(2 ** 64))
+        var = var + jnp.float32(round_var)
     if ek.bk_compact is not None and ek.bk_ntt is None:
         # Fast rounded-key form: account the key-rounding error (uniform in
         # [-2^(8*drop-1), 2^(8*drop-1)) per coefficient, convolved with the
@@ -374,7 +394,8 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
 
 def predicted_bootstrap_variance(params: GateBootstrappingParams,
                                  bk_variance: float | None = None,
-                                 with_keyswitch: bool = True) -> float:
+                                 with_keyswitch: bool = True,
+                                 key_round_bits: int = 0) -> float:
     """Host-side worst-case output phase variance of one gate bootstrap.
 
     Mirrors the device bookkeeping in :func:`bootstrap_woKS` /
@@ -392,6 +413,9 @@ def predicted_bootstrap_variance(params: GateBootstrappingParams,
     dec_step = 0.5 * (kN2 * eps_mean) ** 2 + kN2 * eps_u2
     d2 = (2.0 * tg.halfBg) ** 2 / 12.0
     var = params.n * (tg.kpl * tl.N * d2 * bk_variance + dec_step)
+    if key_round_bits:
+        var += (params.n * tg.kpl * tl.N * float(tg.halfBg ** 2)
+                * (float(1 << (2 * key_round_bits)) / 12.0) / float(2 ** 64))
     if with_keyswitch:
         n_in = tl.k * tl.N
         tb = params.ks.t * params.ks.basebit

@@ -143,16 +143,20 @@ def _ntt_matrices_np(p: int, F: int) -> tuple[np.ndarray, np.ndarray]:
 # Context
 # --------------------------------------------------------------------------
 
-def _choose_key_limbs(J: int, N: int, halfBg: int, primes: tuple[int, ...]) -> tuple[int, int]:
-    """Smallest (limbs, bits) covering 32 bits with the CRT bound satisfied.
+def _choose_key_limbs(J: int, N: int, halfBg: int, primes: tuple[int, ...],
+                      cover_bits: int = 32) -> tuple[int, int]:
+    """Smallest (limbs, bits) covering ``cover_bits`` with the CRT bound met.
 
     Exactness requires 2 * J * N * halfBg * limb_max < prod(primes), where
     limb_max = 2^(bits-1) + 1 (top limb can exceed half-base by one after
-    the carry chain).
+    the carry chain).  ``cover_bits < 32`` is the rounded-key mode: the key
+    is first rounded to its top ``cover_bits`` bits (the reference-style
+    f64-FFT noise trade, ``/root/reference/build.sh:54-57``) and the limbs
+    then cover only those.
     """
     P = int(np.prod([int(p) for p in primes], dtype=object))
     for limbs in (2, 3, 4, 6, 8):
-        bits = -(-32 // limbs)  # ceil
+        bits = -(-cover_bits // limbs)  # ceil
         limb_max = (1 << (bits - 1)) + 1
         if limb_max > 32639:  # must survive a 2x int8 split (split_i8 domain)
             continue
@@ -160,6 +164,59 @@ def _choose_key_limbs(J: int, N: int, halfBg: int, primes: tuple[int, ...]) -> t
             return limbs, bits
     raise ValueError(
         f"no key-limb split satisfies the CRT bound for J={J} N={N} halfBg={halfBg}")
+
+
+def choose_round_bits(J: int, N: int, halfBg: int,
+                      primes: tuple[int, ...] = DEFAULT_PRIMES,
+                      limbs: int = 2) -> int:
+    """Smallest key-rounding ``rb`` such that ``limbs`` limbs of
+    ceil((32-rb)/limbs) bits satisfy the CRT bound — i.e. the cheapest
+    rounded-key plan with the requested limb count (the v4 fast-kernel plan
+    asks for limbs=2; VERDICT r3 item 1).  Raises if none exists (then use
+    more limbs)."""
+    P = int(np.prod([int(p) for p in primes], dtype=object))
+    for rb in range(0, 24):
+        bits = -(-(32 - rb) // limbs)
+        limb_max = (1 << (bits - 1)) + 1
+        if limb_max <= 32639 and 2 * J * N * halfBg * limb_max < P:
+            return rb
+    raise ValueError(
+        f"no {limbs}-limb rounded plan satisfies the CRT bound for "
+        f"J={J} N={N} halfBg={halfBg} primes={primes}")
+
+
+def choose_rounded_plan(J: int, N: int, halfBg: int, n_steps: int,
+                        bk_variance: float,
+                        primes: tuple[int, ...] = DEFAULT_PRIMES) -> int:
+    """Key-rounding ``rb`` for the fewest-limb plan whose rounding noise is
+    acceptable: the per-bootstrap key-rounding variance (worst-case digit
+    convention, see ``core/bootstrap.bootstrap_woKS``) must not exceed 2x
+    the inherent bk-noise term.  Tries limbs=2 first (the v4 fast plan —
+    accepted at the 128-bit set: rb=8, 2x12-bit limbs), then 3, then 4;
+    returns rb=0 (exact) only if every rounded plan is too noisy, which
+    cannot happen since rb=0 is always a valid member of some plan."""
+    inherent = n_steps * J * N * ((2.0 * halfBg) ** 2 / 12.0) * bk_variance
+    for limbs in (2, 3, 4):
+        try:
+            rb = choose_round_bits(J, N, halfBg, primes, limbs)
+        except ValueError:
+            continue
+        round_var = (n_steps * J * N * float(halfBg ** 2)
+                     * (float(1 << (2 * rb)) / 12.0) / float(2 ** 64))
+        if round_var <= 2.0 * inherent:
+            return rb
+    return 0
+
+
+def round_key(bk, rb: int):
+    """Round a torus int32 array to its top ``32 - rb`` bits (nearest, ties
+    up): v = (bk >> rb) + bit(rb-1).  Exact err = bk - (v << rb) is uniform
+    in [-2^(rb-1), 2^(rb-1)) — accounted as key-rounding noise by
+    ``core/bootstrap.bootstrap_woKS``.  Works for jnp and np arrays; rb=0 is
+    the identity (returns the input unchanged, full 32-bit key)."""
+    if rb == 0:
+        return bk
+    return (bk >> rb) + ((bk >> (rb - 1)) & 1)
 
 
 @jax.tree_util.register_dataclass
@@ -183,14 +240,22 @@ class NttContext:
     key_limb_bits: int = dataclasses.field(metadata=dict(static=True))
     halfBg: int = dataclasses.field(metadata=dict(static=True))
     J: int = dataclasses.field(metadata=dict(static=True))
+    #: Key-rounding bits (0 = exact mod 2^32).  When > 0 the key is rounded
+    #: to its top 32-rb bits before the limb split; limb ``l`` carries scale
+    #: 2^(rb + bits*l) in the recombination.  The rounding error is bounded
+    #: noise, accounted in ``core/bootstrap.bootstrap_woKS`` — the same trade
+    #: the reference's f64 FFT makes (its ``executeDirectTorus32`` rounding).
+    key_round_bits: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @functools.lru_cache(maxsize=None)
-def _host_plan(N: int, J: int, halfBg: int, R: int, primes: tuple[int, ...]):
+def _host_plan(N: int, J: int, halfBg: int, R: int, primes: tuple[int, ...],
+               round_bits: int = 0):
     F = N // R
     assert R * F == N and F & (F - 1) == 0 and R & (R - 1) == 0, (N, R)
     mats = [_ntt_matrices_np(p, F) for p in primes]
-    limbs, bits = _choose_key_limbs(J, N, halfBg, primes)
+    limbs, bits = _choose_key_limbs(J, N, halfBg, primes,
+                                    cover_bits=32 - round_bits)
     omegas = []
     for p in primes:
         psi = _root_of_unity(p, 2 * F)
@@ -200,14 +265,17 @@ def _host_plan(N: int, J: int, halfBg: int, R: int, primes: tuple[int, ...]):
 
 
 def make_context(N: int, J: int, halfBg: int, R: int | None = None,
-                 primes: tuple[int, ...] = DEFAULT_PRIMES) -> NttContext:
+                 primes: tuple[int, ...] = DEFAULT_PRIMES,
+                 key_round_bits: int = 0) -> NttContext:
     """Build the NTT context for polynomial degree N, gadget width J=kpl,
-    digit bound halfBg."""
+    digit bound halfBg.  ``key_round_bits > 0`` selects the rounded-key plan
+    (key rounded to its top 32-rb bits; fewer limbs; accounted noise)."""
     if R is None:
         R = min(DEFAULT_R, N)  # keep F >= 1; production N=1024 -> F=128
         while N // R < R and R > 1:  # tiny N: prefer F >= R
             R //= 2
-    mats, omegas, limbs, bits = _host_plan(N, J, halfBg, R, tuple(primes))
+    mats, omegas, limbs, bits = _host_plan(N, J, halfBg, R, tuple(primes),
+                                           key_round_bits)
     F = N // R
 
     def limbs8(M: np.ndarray) -> np.ndarray:
@@ -221,13 +289,22 @@ def make_context(N: int, J: int, halfBg: int, R: int | None = None,
     omega = jnp.asarray(np.stack(omegas).astype(np.int32))
     return NttContext(Wf8=Wf8, Wi8=Wi8, omega=omega, N=N, R=R, F=F,
                       primes=tuple(primes), key_limbs=limbs, key_limb_bits=bits,
-                      halfBg=halfBg, J=J)
+                      halfBg=halfBg, J=J, key_round_bits=key_round_bits)
 
 
-def context_for_params(params) -> NttContext:
-    """Context for a GateBootstrappingParams (J = kpl, digit bound halfBg)."""
+def context_for_params(params, rounded: bool = False) -> NttContext:
+    """Context for a GateBootstrappingParams (J = kpl, digit bound halfBg).
+
+    ``rounded=True``: the 2-limb rounded-key plan (see :func:`choose_round_bits`)."""
     tg = params.tgsw_params
-    return make_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg)
+    rb = 0
+    if rounded:
+        rb = choose_rounded_plan(tg.kpl, tg.tlwe_params.N, tg.halfBg,
+                                 n_steps=params.n,
+                                 bk_variance=float(tg.tlwe_params.alpha_min) ** 2,
+                                 primes=DEFAULT_PRIMES)
+    return make_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg,
+                        key_round_bits=rb)
 
 
 # --------------------------------------------------------------------------
@@ -391,7 +468,7 @@ def prepare_key_ntt(bk_rows: jax.Array, ctx: NttContext,
 
     @jax.jit
     def build(bk_rows):
-        kl = signed_limbs(bk_rows, bits, L)              # (L, n, J, U, N)
+        kl = signed_limbs(round_key(bk_rows, ctx.key_round_bits), bits, L)
         sub = to_subpolys(kl, R)                         # (L, n, J, U, R, F)
         limb_max = (1 << (bits - 1)) + 1
         bhat = ntt_forward(sub, ctx, xmax=limb_max)      # (P, L, n, J, U, R, F)
@@ -435,7 +512,7 @@ def prepare_key_ntt_np(bk_rows: np.ndarray, ctx: NttContext,
     R, F, L, bits = ctx.R, ctx.F, ctx.key_limbs, ctx.key_limb_bits
 
     # signed_limbs (base 2^bits, borrow-carried like the device version)
-    out, c = [], bk.astype(np.int64)
+    out, c = [], round_key(bk.astype(np.int64), ctx.key_round_bits)
     base, half = 1 << bits, 1 << (bits - 1)
     for _ in range(L - 1):
         m = c & (base - 1)
@@ -498,7 +575,8 @@ def prepare_kernel_key_fast_np(bk_rows: np.ndarray, ctx: NttContext) -> np.ndarr
     P = len(ctx.primes)
 
     # signed limbs (base 2^bits), borrow-carried — int32 throughout
-    out, c = [], bk.astype(np.int32, copy=True)
+    out = []
+    c = round_key(bk.astype(np.int32, copy=True), ctx.key_round_bits)
     base, half = 1 << bits, 1 << (bits - 1)
     for _ in range(L - 1):
         m = c & (base - 1)
@@ -587,7 +665,9 @@ def external_product_ntt(digits: jax.Array, T8_step: jax.Array,
 
     out = jnp.zeros((B, U, R, F), _I32)
     for li in range(L):
-        out = (out + (V[li] << jnp.int32(ctx.key_limb_bits * li))).astype(_I32)
+        # limb li carries scale 2^(round_bits + bits*li); int32 wrap = mod 2^32
+        sh = ctx.key_round_bits + ctx.key_limb_bits * li
+        out = (out + (V[li] << jnp.int32(sh))).astype(_I32)
     return from_subpolys(out)                             # (B, U, N)
 
 

@@ -272,6 +272,8 @@ def blind_rotate_ntt_pallas(acc0: jax.Array, bara: jax.Array,
             out_t = (out_t
                      + (V[:, li * US:(li + 1) * US, :]
                         << jnp.int32(kbits * li))).astype(_I32)     # (F, US, Bt)
+        if ctx.key_round_bits:
+            out_t = (out_t << jnp.int32(ctx.key_round_bits)).astype(_I32)
         upd = jnp.transpose(out_t, (1, 2, 0))           # (US, Bt, F) — P12
         acc[:] = (acc[:] + upd.reshape(U, S, Bt, F)).astype(_I32)
 

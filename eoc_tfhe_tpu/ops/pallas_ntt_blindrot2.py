@@ -222,6 +222,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     batched_primes = P == 2 and all(pw_single) and all(inv_single)
     crt_inv = int(ntt._balanced_np(np.int64(pow(p1, p2 - 2, p2)), p2))
     kbits = ctx.key_limb_bits
+    rb = ctx.key_round_bits
 
     WfT = jnp.asarray(_wt_cat_i8(ctx))     # (P, 2F, F)
     Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
@@ -406,6 +407,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             out_t = (out_t
                      + (V[:, li * US:(li + 1) * US, :]
                         << jnp.int32(kbits * li))).astype(_I32)  # (F, US, Bt)
+        if rb:
+            # rounded-key plan: every limb carries the extra 2^rb scale
+            out_t = (out_t << jnp.int32(rb)).astype(_I32)
         acc[:, :, :, sl] = (a + out_t.reshape(F, U, S, Bt)).astype(_I32)
 
         @pl.when(i == n - 1)
@@ -425,10 +429,15 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     bara3 = bara.astype(jnp.int32)[:, None, :]       # (n, 1, B)
 
     # The whole per-call batch is VMEM-resident (16 MB at Bc=2048); larger
-    # batches run as sequential chunked calls.
+    # batches run as sequential chunked calls.  Bc is the largest Bt-multiple
+    # divisor of B within the residency cap, so any Bt-multiple batch chunks
+    # cleanly (bootstrap_woKS pads B to a multiple of 128 = Bt; e.g. a user
+    # batch of 3000 arrives as 3072 and runs as 2 x 1536 — ADVICE r3).
     MAX_RESIDENT_B = 2048
-    Bc = min(B, MAX_RESIDENT_B) if not interpret else B
-    assert B % Bc == 0
+    Bc = B
+    if not interpret and B > MAX_RESIDENT_B:
+        Bc = max(d for d in range(Bt, MAX_RESIDENT_B + 1, Bt) if B % d == 0)
+    assert B % Bc == 0 and Bc % Bt == 0
 
     def call_one(acc0p_c, bara3_c):
         n_bt = Bc // Bt
@@ -477,12 +486,27 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
 
 @functools.lru_cache(maxsize=None)
-def kernel_context(N: int, J: int, halfBg: int,
-                   R: int | None = None) -> ntt.NttContext:
+def kernel_context(N: int, J: int, halfBg: int, R: int | None = None,
+                   key_round_bits: int = 0) -> ntt.NttContext:
     """NttContext with the v3 kernel's default prime pair."""
-    return ntt.make_context(N=N, J=J, halfBg=halfBg, R=R, primes=KERNEL_PRIMES)
+    return ntt.make_context(N=N, J=J, halfBg=halfBg, R=R, primes=KERNEL_PRIMES,
+                            key_round_bits=key_round_bits)
 
 
-def kernel_context_for_params(params: GateBootstrappingParams) -> ntt.NttContext:
+def kernel_context_for_params(params: GateBootstrappingParams,
+                              rounded: bool = False) -> ntt.NttContext:
+    """``rounded=True`` selects the v4 fast plan: the key is rounded so a
+    2-limb split meets the CRT bound (rb=8 -> 2x12-bit limbs at the 128-bit
+    set), trading ~1/3 of the pointwise/inverse work for an accounted
+    key-rounding noise term comparable to the inherent bootstrap noise —
+    the same trade the reference's f64 FFT makes (its rounding is absorbed
+    into ciphertext noise; ``/root/reference/build.sh:54-57``)."""
     tg = params.tgsw_params
-    return kernel_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg)
+    rb = 0
+    if rounded:
+        rb = ntt.choose_rounded_plan(tg.kpl, tg.tlwe_params.N, tg.halfBg,
+                                     n_steps=params.n,
+                                     bk_variance=float(tg.tlwe_params.alpha_min) ** 2,
+                                     primes=KERNEL_PRIMES)
+    return kernel_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg,
+                          key_round_bits=rb)

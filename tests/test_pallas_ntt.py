@@ -79,3 +79,103 @@ def test_bootstrap_woks_kernel_form_matches(keyset):
     got = gates.decrypt_bit(out_k, keyset.lwe_key)
     np.testing.assert_array_equal(np.asarray(got),
                                   ~(np.asarray(a) & np.asarray(b)))
+
+
+# ---------------------------------------------------------------------------
+# v4 rounded-key plan (VERDICT r3 item 1): key rounded to its top 32-rb bits
+# so a 2-limb split meets the CRT bound — the reference's own f64-FFT noise
+# trade (/root/reference/build.sh:54-57).  The NTT stays exact on the rounded
+# key, so kernel and scan paths remain bit-exact against each other.
+# ---------------------------------------------------------------------------
+
+def test_rounded_plan_selection():
+    """128-bit set: 2x12-bit limbs at rb=8; 80-bit set falls back to 3 limbs
+    (a 2-limb plan there would need rb=12 — rounding noise >> inherent)."""
+    from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as pnb2
+    p128 = params_mod.default_128bit_params()
+    ctx = pnb2.kernel_context_for_params(p128, rounded=True)
+    assert (ctx.key_limbs, ctx.key_limb_bits, ctx.key_round_bits) == (2, 12, 8)
+    p80 = params_mod.default_80bit_params()
+    ctx80 = ntt.context_for_params(p80, rounded=True)
+    assert ctx80.key_limbs == 3 and ctx80.key_round_bits > 0
+    # rounding noise stays under 2x the inherent bk-noise term (the plan
+    # chooser's acceptance rule)
+    for prm, c in ((p128, ctx), (p80, ctx80)):
+        inherent = bootstrap.predicted_bootstrap_variance(
+            prm, with_keyswitch=False)
+        with_round = bootstrap.predicted_bootstrap_variance(
+            prm, with_keyswitch=False, key_round_bits=c.key_round_bits)
+        assert with_round - inherent <= 2.0 * inherent
+
+
+def test_rounded_kernel_bit_exact_vs_scan(keyset):
+    p = toy_params()
+    tl = p.tgsw_params.tlwe_params
+    N, k, n, B = tl.N, tl.k, p.n, 8
+    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
+                                        rounded=True)
+    ctx = ek.ntt_ctx
+    assert ctx.key_round_bits > 0 and ctx.key_limbs == 2
+
+    r = np.random.default_rng(5)
+    acc0 = jnp.asarray(r.integers(-2**31, 2**31, (B, k + 1, N),
+                                  dtype=np.int64).astype(np.int32))
+    bara = jnp.asarray(r.integers(0, 2 * N, (n, B), dtype=np.int64)
+                       .astype(np.int32))
+    ref = np.asarray(ntt.blind_rotate_ntt(acc0, bara, ek.bk_ntt, p, ctx))
+    T8k = pnb.prepare_kernel_key(ek.bk_ntt, ctx)
+    out = np.asarray(pnb.blind_rotate_ntt_pallas(acc0, bara, T8k, ctx, p,
+                                                 block_b=B, interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_rounded_external_product_matches_rounded_key_convolution(keyset):
+    """The rounded-plan NTT external product equals the *direct* negacyclic
+    convolution of the digits with the ROUNDED key mod 2^32 — i.e. the only
+    approximation is the key rounding itself, which the variance bookkeeping
+    accounts for (bootstrap_woKS)."""
+    p = toy_params()
+    tg = p.tgsw_params
+    ctx = ntt.context_for_params(p, rounded=True)
+    rb = ctx.key_round_bits
+    r = np.random.default_rng(7)
+    J, U, N = tg.kpl, tg.tlwe_params.k + 1, tg.tlwe_params.N
+    bk = r.integers(-2**31, 2**31, (1, J, U, N), dtype=np.int64).astype(np.int32)
+    key = ntt.prepare_key_ntt_np(bk, ctx)
+    digits = r.integers(-tg.halfBg, tg.halfBg, (3, J, N),
+                        dtype=np.int64).astype(np.int32)
+    out = np.asarray(ntt.external_product_ntt(jnp.asarray(digits),
+                                              key.T8[0], ctx))
+
+    bk_rounded = np.asarray(ntt.round_key(bk.astype(np.int64), rb)) << rb
+    ref = np.zeros((3, U, N), np.int64)
+    idx = np.arange(N)
+    for b in range(3):
+        for u in range(U):
+            for j in range(J):
+                for i in range(N):
+                    contrib = digits[b, j, i] * bk_rounded[0, j, u]
+                    wrapped = np.roll(contrib, i)
+                    wrapped[:i] *= -1
+                    ref[b, u] += wrapped
+    np.testing.assert_array_equal(ref.astype(np.int32), out)
+
+
+def test_rounded_gate_decrypts_correctly(keyset):
+    p = toy_params()
+    B = 16
+    r = np.random.default_rng(9)
+    a = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    b = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(3), a, keyset.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(4), b, keyset.lwe_key, p)
+    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
+                                        rounded=True)
+    out = gates.nand(ca, cb, ek, p)
+    got = gates.decrypt_bit(out, keyset.lwe_key)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  ~(np.asarray(a) & np.asarray(b)))
+    # tracked variance includes the key-rounding term
+    base = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False)
+    out0 = gates.nand(ca, cb, base, p)
+    assert float(out.current_variance[0]) > float(out0.current_variance[0])

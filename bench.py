@@ -35,13 +35,19 @@ def main() -> None:
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
-    # Default batch 4096 (two VMEM-resident 2048 chunks): the axon relay
-    # costs ~25 ms per dispatch (scripts/probes/tpu_probe5.py), so per-call
-    # work must dwarf it; 4096 measured ~4% over 2048.
-    B = int(os.environ.get("EOC_BENCH_BATCH", "4096"))
+    # Default batch = FrameworkConfig.batch_size = 4096 (two VMEM-resident
+    # 2048 chunks): the axon relay costs ~25 ms per dispatch
+    # (scripts/probes/tpu_probe5.py), so per-call work must dwarf it;
+    # 4096 measured ~4% over 2048.
+    from eoc_tfhe_tpu.config import DEFAULT_CONFIG
+    B = int(os.environ.get("EOC_BENCH_BATCH", str(DEFAULT_CONFIG.batch_size)))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
-    # ntt (exact CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
+    # ntt (CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
     form = os.environ.get("EOC_BENCH_FORM", "ntt")
+    # form=ntt: EOC_BENCH_ROUNDED=1 (default) uses the v4 rounded-key plan
+    # (2x12-bit limbs, rb=8 at 128-bit — key-rounding noise accounted,
+    # decrypt-exact); =0 the exact-mod-2^32 3x11-bit plan.
+    rounded = os.environ.get("EOC_BENCH_ROUNDED", "1") not in ("0", "false")
     # Stored key limbs for form=fused: 3 = fast rounded-key form
     # (noise-analyzed, still decrypt-exact on gate outputs), 4 = exact.
     # form=ntt is always exact mod 2^32.
@@ -89,7 +95,8 @@ def main() -> None:
     keyset_s = time.time() - t0
     print(f"# keyset ready {keyset_s:.1f}s", file=sys.stderr)
     if form == "ntt":
-        ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
+        ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, params,
+                                            rounded=rounded)
         jax.block_until_ready(ek.bk_ntt_kernel if ek.bk_ntt_kernel is not None
                               else ek.bk_ntt.T8)
     elif form in ("fused", "chunked"):
@@ -251,8 +258,14 @@ def main() -> None:
             print(f"# mesh {mesh_env} skipped: needs {dp * tp} devices, "
                   f"have {len(jax.devices())}", file=sys.stderr)
 
+    if form == "ntt":
+        ctx = ek.ntt_ctx
+        plan = (f"{ctx.key_limbs}x{ctx.key_limb_bits}b"
+                + (f"-rb{ctx.key_round_bits}" if ctx.key_round_bits else "-exact"))
+    else:
+        plan = limbs if form in ("fused", "chunked") else "exact"
     cfg = {"form": form, "batch": B, "params": which,
-           "limbs": (limbs if form in ("fused", "chunked") else "exact"),
+           "limbs": plan,
            "correct": ok, "keygen_s": round(keygen_s, 1),
            "compile_s": round(compile_s, 1)}
     if b1_ms is not None:

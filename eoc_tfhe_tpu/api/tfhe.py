@@ -46,11 +46,21 @@ class TfheSession:
                  seed: int = 0, config: "FrameworkConfig | None" = None):
         from ..config import DEFAULT_CONFIG
         self.config = config or DEFAULT_CONFIG
+        self.config.apply_profiling()
         if params is None:
             params = self.config.params()
         self.params = params
         self._rng = jax.random.key(seed)
         self.keyset: SecretKeySet | None = None
+        self._gate_api = None
+
+    def gate_api(self):
+        """Bound boolean-gate namespace (config's eval_key_form and
+        rotation_impl wired in); built lazily on first use."""
+        if self._gate_api is None:
+            self._gate_api = self.config.make_gate_api(self._require_key(),
+                                                       self.params)
+        return self._gate_api
 
     def _next_key(self) -> jax.Array:
         self._rng, k = jax.random.split(self._rng)

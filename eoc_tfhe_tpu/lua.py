@@ -495,6 +495,17 @@ class Env:
             e = e.parent
         return None
 
+    def lookup(self, name):
+        """(found, value) — distinguishes a local declared nil from an
+        undeclared name (ADVICE r3: ``local x = nil`` must shadow a global
+        ``x``, not fall through to it)."""
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return True, e.vars[name]
+            e = e.parent
+        return False, None
+
     def set_existing(self, name, value):
         e = self
         while e is not None:
@@ -509,12 +520,28 @@ class Env:
 
 
 _MAX_STEPS = 2_000_000
+#: Memory rail (ADVICE r3): the reference wasm runs under an AO
+#: ``Memory-Limit: 1-gb`` tag (/root/reference/scripts/publish-module.mjs:25);
+#: this sandbox caps any single string result and the cumulative string
+#: bytes allocated per interpreter, so ``string.rep(s, 2^40)`` or repeated
+#: ``s = s .. s`` doubling cannot OOM the host within the step budget.
+_MAX_STRING = 8 * 2 ** 20
+_MAX_STR_ALLOC = 256 * 2 ** 20
 
 
 class Interpreter:
     def __init__(self, globals_table: LuaTable):
         self.globals = globals_table
         self.steps = 0
+        self.str_alloc = 0
+
+    def charge_str(self, nchars: int) -> None:
+        """Account a string allocation against the memory rail."""
+        if nchars > _MAX_STRING:
+            raise LuaError("memory limit exceeded (string too long)")
+        self.str_alloc += nchars
+        if self.str_alloc > _MAX_STR_ALLOC:
+            raise LuaError("memory limit exceeded")
 
     # value helpers ---------------------------------------------------------
     def _tonum(self, v, what="arithmetic"):
@@ -701,10 +728,10 @@ class Interpreter:
         if op == "const":
             return e[1]
         if op == "name":
-            v = env.get(e[1])
-            if v is None:
-                return self.globals.get(e[1])
-            return v
+            found, v = env.lookup(e[1])
+            if found:
+                return v
+            return self.globals.get(e[1])
         if op == "paren":
             return self.eval1(e[1], env)
         if op == "index":
@@ -780,7 +807,9 @@ class Interpreter:
                     if not isinstance(x, (str, int, float)) or isinstance(x, bool):
                         raise LuaError("attempt to concatenate a "
                                        f"{self._typename(x)} value")
-                return lua_tostring(a) + lua_tostring(b)
+                sa, sb = lua_tostring(a), lua_tostring(b)
+                self.charge_str(len(sa) + len(sb))
+                return sa + sb
             if o == "==":
                 return self._eq(a, b)
             if o == "~=":
@@ -839,6 +868,9 @@ def _fmt_lua(spec, args):
         j = i + 1
         while j < len(spec) and spec[j] in "-+ #0123456789.":
             j += 1
+        for run in re.findall(r"\d+", spec[i + 1:j]):
+            if int(run) > _MAX_STRING:   # width/precision memory rail
+                raise LuaError("memory limit exceeded (format width)")
         conv = spec[j]
         if conv == "%":
             out.append("%")
@@ -972,6 +1004,13 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
                            else "assertion failed!")
         return v
 
+    def _charge(nchars):
+        interp = G.get("__interp__")
+        if interp is not None:
+            interp.charge_str(nchars)
+        elif nchars > _MAX_STRING:
+            raise LuaError("memory limit exceeded (string too long)")
+
     def lua_pcall(fn, *args):
         interp = G.get("__interp__")
         try:
@@ -979,6 +1018,12 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
             return tuple([True] + out)
         except LuaError as exc:
             return (False, str(exc))
+        except (_Return, _Break):
+            raise
+        except Exception as exc:  # host-bridge/stdlib failures (ADVICE r3):
+            # real Lua's pcall captures errors raised inside C functions;
+            # convert Python exceptions from bound host calls the same way.
+            return (False, f"{type(exc).__name__}: {exc}")
 
     G.set("print", lua_print)
     G.set("tostring", lua_tostring)
@@ -998,8 +1043,10 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
         "sub": _sub,
         "upper": lambda s: s.upper(),
         "lower": lambda s: s.lower(),
-        "rep": lambda s, n, sep=None: ((sep or "").join([s] * int(n))
-                                       if n and int(n) > 0 else ""),
+        "rep": lambda s, n, sep=None: (
+            (_charge(max(0, (len(s) + len(sep or "")) * int(n))) or
+             (sep or "").join([s] * int(n)))
+            if n and int(n) > 0 else ""),
         "reverse": lambda s: s[::-1],
         "byte": lambda s, i=1: ord(s[int(i) - 1]) if s else None,
         "char": lambda *a: "".join(chr(int(x)) for x in a),
@@ -1046,8 +1093,10 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
     G.set("table", LuaTable({
         "insert": t_insert,
         "remove": t_remove,
-        "concat": lambda t, sep="": (sep or "").join(
-            lua_tostring(t.get(i + 1)) for i in range(t.length())),
+        "concat": lambda t, sep="": (_charge(sum(
+            len(lua_tostring(t.get(i + 1))) + len(sep or "")
+            for i in range(t.length()))) or (sep or "").join(
+            lua_tostring(t.get(i + 1)) for i in range(t.length()))),
     }))
 
     def json_encode(v):

@@ -229,3 +229,76 @@ def test_router_with_lua_handlers():
                  {"name": "Forward-Action", "value": "Greet"}],
         "Data": ""})
     assert resp[1]["Output"]["data"]["output"] == "hello alice"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 hardening: memory rail, nil-local shadowing, pcall coverage
+# ---------------------------------------------------------------------------
+
+def _fresh_interp():
+    return lua.make_stdlib(print_sink=lambda s: None, modules={})
+
+
+def _run(G, src):
+    vals, _ = lua.run(src, G)
+    return vals
+
+
+def test_string_rep_memory_rail():
+    interp = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="memory limit"):
+        _run(interp, "return string.rep('aaaaaaaa', 2^40)")
+
+
+def test_concat_doubling_memory_rail():
+    """~40 iterations of s = s .. s would be a TB-scale string; the rail
+    stops it long before host memory is at risk (the reference wasm runs
+    under an AO Memory-Limit tag)."""
+    interp = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="memory limit"):
+        _run(interp, """
+            local s = 'xxxxxxxxxxxxxxxx'
+            for i = 1, 40 do s = s .. s end
+            return #s
+        """)
+
+
+def test_format_width_memory_rail():
+    interp = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="memory limit"):
+        _run(interp, "return string.format('%999999999d', 1)")
+
+
+def test_normal_strings_unaffected():
+    interp = _fresh_interp()
+    assert _run(interp, "return string.rep('ab', 3, '-')") == ["ab-ab-ab"]
+    assert _run(interp, "return ('x'):rep(4) .. 'y'") == ["xxxxy"]
+
+
+def test_local_nil_shadows_global():
+    """ADVICE r3: a local bound to nil must shadow a global of the same
+    name, not fall through to it (Lua scoping semantics)."""
+    interp = _fresh_interp()
+    assert _run(interp, """
+        x = 5
+        local function f()
+            local x = nil
+            return x
+        end
+        return f(), x
+    """) == [None, 5]
+
+
+def test_pcall_catches_host_errors():
+    """ADVICE r3: errors raised inside bound host functions (plain Python
+    exceptions) must surface as pcall's (false, err), not abort the Eval."""
+    G = _fresh_interp()
+
+    def boom():
+        raise ValueError("host exploded")
+    G.set("boom", boom)
+    ok, err = _run(G, "local ok, err = pcall(boom); return ok, err")
+    assert ok is False and "host exploded" in err
+    # stdlib failure path: string.rep with a non-numeric count
+    ok2, err2 = _run(G, "local ok, e = pcall(string.rep, 'a', 'zz'); return ok, e")
+    assert ok2 is False and err2

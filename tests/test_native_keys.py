@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from eoc_tfhe_tpu.core import bootstrap, keys
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 from eoc_tfhe_tpu.io import native_keys
 from eoc_tfhe_tpu.parallel.mesh import make_mesh
 from eoc_tfhe_tpu.parallel.sharded import shard_ntt_key_rows
@@ -15,7 +15,7 @@ from eoc_tfhe_tpu.parallel.sharded import shard_ntt_key_rows
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs >= 8 devices (virtual CPU farm)")
 
-P = test_params()
+P = make_test_params()
 
 
 @pytest.fixture(scope="module")

@@ -15,7 +15,7 @@ import numpy as np
 import pytest
 
 from eoc_tfhe_tpu.core import bootstrap, gates, keys
-from eoc_tfhe_tpu.core.params import test_params
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
 
 
 @pytest.fixture
@@ -29,7 +29,7 @@ def debug_nans():
 
 def test_gate_bootstrap_variance_path_nan_free(debug_nans):
     """Full NAND bootstrap (variance bookkeeping is the float path)."""
-    p = test_params()
+    p = make_test_params()
     ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(0), p)
     ek = bootstrap.prepare_eval_key(ks.cloud)
     bits = jnp.asarray(np.array([True, False]))
@@ -56,7 +56,7 @@ def test_oracle_fft_path_nan_free(debug_nans):
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
     import oracle
-    p = test_params()
+    p = make_test_params()
     rng = np.random.default_rng(0)
     N = p.N
     a = rng.integers(-2**31, 2**31, N, dtype=np.int64).astype(np.int32)
@@ -73,7 +73,7 @@ def test_keyswitch_bf16_path_exact_and_finite(debug_nans):
     from eoc_tfhe_tpu.core.lwe import LweCiphertext
     from eoc_tfhe_tpu.ops import keyswitch as kw
     from eoc_tfhe_tpu.ops import polymul
-    p = test_params()
+    p = make_test_params()
     ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(3), p)
     n_in = p.N * p.k
     rng = np.random.default_rng(1)

@@ -193,7 +193,9 @@ def main() -> None:
             cbm = gates.encrypt_bit(jax.random.key(4), jnp.asarray(bm),
                                     keyset.lwe_key, params)
             ks_var = jnp.float32(keyset.cloud.bk.ks.variance)
-            args = (cam.a, cam.b, cbm.a, cbm.b, ek_plain.bk_rows,
+            args = (cam.a, cam.b, cam.current_variance,
+                    cbm.a, cbm.b, cbm.current_variance,
+                    ek_plain.bk_rows, ek_plain.bk_variance,
                     ek_plain.ks_prepared, ks_var)
             np.asarray(fn(*args)[1])     # compile + warm
             tms = []

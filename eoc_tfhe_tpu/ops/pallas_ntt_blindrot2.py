@@ -69,6 +69,7 @@ Reference: upstream ``tfhe_blindRotate_FFT`` (SURVEY.md §3.5 hot loop #1).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +227,10 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
     WfT = jnp.asarray(_wt_cat_i8(ctx))     # (P, 2F, F)
     Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
+    # int16 transients for the lazy residues between the dots: |r| <=
+    # p/2+92 <= 32348 fits int16, halving the VMEM traffic of the dhat/chat
+    # stages (measured -1.4 us/step-tile round 4; EOC_NTT_I16=0 reverts)
+    i16 = os.environ.get("EOC_NTT_I16", "1") == "1"
 
     def kernel(bara_ref, acc0_ref, T_ref, wf_ref, wi_ref, out_ref, acc):
         # Grid is (n, n_btiles) with the STEP on the outer axis: the 2 MB key
@@ -319,6 +324,10 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=_I32).reshape(P, 2 * F, K, Bt)
             dhat = balv(q[:, :F] + (q[:, F:] << 8), strict=False)
+            if i16:
+                # lazy residues |r| <= p/2+92 <= 32348 fit int16; halves the
+                # VMEM traffic of the transient if Mosaic materializes it
+                dhat = dhat.astype(jnp.int16)
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
@@ -337,7 +346,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                         + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
                         + zz_hi[..., Bt:] * c16v,
                         strict=False)
-
+            if i16:
+                chat = chat.astype(jnp.int16)
             clo, chi = _split8(chat)
             c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
             qv = jax.lax.dot_general(
@@ -347,6 +357,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                        + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
                        + balv(qv[:, F:, M:], strict=False) * c16v,
                        strict=False)
+            if i16:
+                vpv = vpv.astype(jnp.int16)
             vp = [vpv[0], vpv[1]]
         else:
             vp = []
@@ -400,8 +412,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
         # ---- CRT + key-limb recombination + accumulate ----
         # lazy t is safe: |V| <= (p/2+92) + (p2/2+92)*p1 ~ 1.05e9 < 2^31 and
         # |V - c| < p1*p2 still forces V = c exactly.
-        t = _bal((vp[1] - vp[0]) * jnp.int32(crt_inv), p2, strict=False)
-        V = (vp[0] + t * jnp.int32(p1)).astype(_I32)     # (F, M, Bt) exact
+        t = _bal((vp[1].astype(_I32) - vp[0].astype(_I32)) * jnp.int32(crt_inv),
+                 p2, strict=False)
+        V = (vp[0].astype(_I32) + t * jnp.int32(p1)).astype(_I32)  # (F,M,Bt)
         out_t = V[:, :US, :]
         for li in range(1, L):
             out_t = (out_t
@@ -433,7 +446,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     # divisor of B within the residency cap, so any Bt-multiple batch chunks
     # cleanly (bootstrap_woKS pads B to a multiple of 128 = Bt; e.g. a user
     # batch of 3000 arrives as 3072 and runs as 2 x 1536 — ADVICE r3).
-    MAX_RESIDENT_B = 2048
+    MAX_RESIDENT_B = int(os.environ.get("EOC_NTT_RESIDENT_B", "2048"))
     Bc = B
     if not interpret and B > MAX_RESIDENT_B:
         Bc = max(d for d in range(Bt, MAX_RESIDENT_B + 1, Bt) if B % d == 0)

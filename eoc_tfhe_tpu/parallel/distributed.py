@@ -32,8 +32,13 @@ def initialize(coordinator_address: str | None = None,
     no-op. Returns True when a multi-process group is (already) active.
     Idempotent: a second call is a no-op.
     """
-    if jax.process_count() > 1:
-        return True
+    # Do NOT touch jax.process_count() before jax.distributed.initialize —
+    # it initialises the XLA backend, after which joining is impossible.
+    # The distributed client handle tells us whether a group is active
+    # without initialising anything.
+    from jax._src import distributed as _jdist
+    if getattr(_jdist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     env_np = os.environ.get("JAX_NUM_PROCESSES")
@@ -72,9 +77,14 @@ def make_hybrid_mesh(tp: int = 1, dp: int | None = None,
     want_dp = dp if dp is not None else n_hosts * dp_local
     assert want_dp == n_hosts * dp_local, (
         f"dp={dp} inconsistent with {n_hosts} hosts x {dp_local} local")
+    # TPU slices carry a distinguishing slice_index; CPU/GPU hosts don't —
+    # there the process is the DCN granule (multi-process CPU test,
+    # VERDICT r3 item 5).
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    granule_is_process = len(slice_ids) != n_hosts
     arr = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(dp_local, tp), dcn_mesh_shape=(n_hosts, 1),
-        devices=devices)
+        devices=devices, process_is_granule=granule_is_process)
     return Mesh(arr.reshape(n_hosts * dp_local, tp), ("dp", "tp"))
 
 

@@ -57,12 +57,16 @@ def main():
     print(f"wrote {tok_path}")
 
     ids = tok.encode("hello world")
-    prompt = jnp.asarray(np.asarray([ids], np.int32))
-    cfg2, lp = checkpoint.load_llama2c(os.path.join(DATA, "llama_tiny_v0.bin"))
-    logits = np.asarray(llama.forward(
-        {k: jnp.asarray(v) for k, v in lp.items()}, prompt, cfg2))
-    gen = np.asarray(llama.generate(
-        {k: jnp.asarray(v) for k, v in lp.items()}, prompt, 8, cfg2))
+    # Golden logits/generation come from the INDEPENDENT numpy oracle
+    # (tests/llama_oracle.py — shares no code with models/llama.py or
+    # models/checkpoint.py; VERDICT r3 item 9), parsing the v0 container
+    # itself and computing the forward in float64.
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA)))
+    sys.path.insert(0, DATA.rsplit("/", 1)[0])
+    import llama_oracle as orc
+    cfg_o, w = orc.load_v0(os.path.join(DATA, "llama_tiny_v0.bin"))
+    logits = np.asarray(orc.forward(cfg_o, w, ids), np.float32)[None]
+    gen = np.asarray([orc.generate_greedy(cfg_o, w, ids, 8)], np.int32)
 
     np.savez(os.path.join(DATA, "llama_tiny_golden.npz"),
              token_ids=np.asarray(ids, np.int32),

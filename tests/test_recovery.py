@@ -84,8 +84,10 @@ def test_checkpoint_restart_resharded_mesh():
         ek2 = bootstrap.prepare_eval_key(ks2.cloud)
         mesh = make_mesh(dp=dp, tp=tp)
         fn = make_sharded_nand(mesh, P)
-        oa, ob = fn(ca.a, ca.b, cb.a, cb.b, ek2.bk_rows, ek2.ks_prepared,
-                    jnp.float32(ks2.cloud.bk.ks.variance))
+        oa, ob, _ = fn(ca.a, ca.b, ca.current_variance,
+                       cb.a, cb.b, cb.current_variance,
+                       ek2.bk_rows, ek2.bk_variance, ek2.ks_prepared,
+                       jnp.float32(ks2.cloud.bk.ks.variance))
         results.append((np.asarray(oa), np.asarray(ob)))
         np.testing.assert_array_equal(results[0][0], results[-1][0])
         np.testing.assert_array_equal(results[0][1], results[-1][1])

@@ -41,11 +41,12 @@ def test_dp_sharded_nand_matches_unsharded(keyset, ek):
     cb = gates.encrypt_bit(jax.random.key(32), jnp.asarray(b), keyset.lwe_key, P)
 
     fn = make_sharded_nand(mesh, P)
-    out_a, out_b = fn(ca.a, ca.b, cb.a, cb.b, ek.bk_rows, ek.ks_prepared,
-                      jnp.float32(keyset.cloud.bk.ks.variance))
+    out_a, out_b, out_var = fn(ca.a, ca.b, ca.current_variance,
+                               cb.a, cb.b, cb.current_variance,
+                               ek.bk_rows, ek.bk_variance, ek.ks_prepared,
+                               jnp.float32(keyset.cloud.bk.ks.variance))
     from eoc_tfhe_tpu.core.lwe import LweCiphertext
-    out = LweCiphertext(a=out_a, b=out_b,
-                        current_variance=jnp.zeros_like(out_b, jnp.float32))
+    out = LweCiphertext(a=out_a, b=out_b, current_variance=out_var)
     got = gates.decrypt_bit(out, keyset.lwe_key)
     np.testing.assert_array_equal(got, ~(a & b))
 
@@ -53,6 +54,9 @@ def test_dp_sharded_nand_matches_unsharded(keyset, ek):
     ref = gates.nand(ca, cb, ek, P)
     np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    # variance parity (VERDICT r3 item 8): bit-equal tracked variance
+    np.testing.assert_array_equal(np.asarray(out_var),
+                                  np.asarray(ref.current_variance))
 
 
 def test_dp_only_mesh(keyset, ek):
@@ -62,11 +66,12 @@ def test_dp_only_mesh(keyset, ek):
     ca = gates.encrypt_bit(jax.random.key(33), jnp.asarray(a), keyset.lwe_key, P)
     cb = gates.encrypt_bit(jax.random.key(34), jnp.asarray(b), keyset.lwe_key, P)
     fn = make_sharded_nand(mesh, P)
-    out_a, out_b = fn(ca.a, ca.b, cb.a, cb.b, ek.bk_rows, ek.ks_prepared,
-                      jnp.float32(keyset.cloud.bk.ks.variance))
+    out_a, out_b, out_var = fn(ca.a, ca.b, ca.current_variance,
+                               cb.a, cb.b, cb.current_variance,
+                               ek.bk_rows, ek.bk_variance, ek.ks_prepared,
+                               jnp.float32(keyset.cloud.bk.ks.variance))
     from eoc_tfhe_tpu.core.lwe import LweCiphertext
-    out = LweCiphertext(a=out_a, b=out_b,
-                        current_variance=jnp.zeros_like(out_b, jnp.float32))
+    out = LweCiphertext(a=out_a, b=out_b, current_variance=out_var)
     np.testing.assert_array_equal(gates.decrypt_bit(out, keyset.lwe_key), ~(a & b))
 
 

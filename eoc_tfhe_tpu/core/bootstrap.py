@@ -120,19 +120,53 @@ def prepare_eval_key_fused(cloud: CloudKeySet, limbs: int | None = None) -> Eval
     return _check_eval_key(ek)
 
 
-# Back-compat alias (the chunk is now a kernel-call parameter, not baked
-# into the key).
 def prepare_eval_key_chunked(cloud: CloudKeySet,
                              params: GateBootstrappingParams | None = None,
                              chunk: int = 128) -> EvalKey:
-    del params, chunk
+    """Back-compat alias for :func:`prepare_eval_key_fused`.
+
+    The batch chunk is a kernel-call parameter now (``block_b``), not baked
+    into the key; a non-default ``chunk`` is rejected rather than silently
+    ignored (ADVICE r3 weak #6).  ``params`` is unused (kept for the old
+    call signature) — the fused form derives everything from the cloud key.
+    """
+    del params
+    if chunk != 128:
+        raise ValueError(
+            "prepare_eval_key_chunked no longer bakes the chunk into the "
+            f"key (got chunk={chunk}); pass block_b to the kernel call, or "
+            "use prepare_eval_key_fused()")
     return prepare_eval_key_fused(cloud)
+
+
+def _attach_scan_form(ek: EvalKey, ctx, small_batch: bool) -> EvalKey:
+    """Derive the XLA-scan key form from the kernel layout (one device
+    transpose; ops/pallas_ntt_blindrot.kernel_key_to_scan) so small batches
+    can skip the Pallas dispatch (SMALL_BATCH_CUTOVER)."""
+    if small_batch and ek.bk_ntt_kernel is not None and ek.bk_ntt is None:
+        from ..ops import ntt, pallas_ntt_blindrot
+        U = int(ek.bk_rows.shape[2])
+        ek.bk_ntt = ntt.NttKey(
+            T8=pallas_ntt_blindrot.kernel_key_to_scan(ek.bk_ntt_kernel, ctx, U),
+            variance=ek.bk_variance)
+    return ek
+
+
+
+#: Batches below this use the XLA-scan blind rotation even when the fused
+#: Pallas kernel key is available: a Pallas dispatch costs ~26 ms through
+#: the axon relay (scripts/probes/tpu_probe5.py) and the kernel always pays
+#: a full 128-lane tile, so at B<~8 the scan path is faster end-to-end
+#: (measured round 4: B=1 NAND 47 ms kernel vs 33 ms scan;
+#: scripts/probes/tpu_b1_probe.py).
+SMALL_BATCH_CUTOVER = 8
 
 
 def prepare_eval_key_ntt(cloud: CloudKeySet,
                          params: GateBootstrappingParams,
                          kernel: str | bool = "auto",
-                         rounded: bool = False) -> EvalKey:
+                         rounded: bool = False,
+                         small_batch: str | bool = "auto") -> EvalKey:
     """Evaluation key in CRT-NTT form (``ops/ntt.py``) — the fast path.
 
     The analog of the reference's FFT-converted ``LweBootstrappingKeyFFT``
@@ -156,6 +190,8 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     ek = prepare_eval_key(cloud)
     if kernel == "auto":
         kernel = jax.default_backend() == "tpu"
+    if small_batch == "auto":
+        small_batch = bool(kernel) and jax.default_backend() == "tpu"
     if kernel:
         ctx = pallas_ntt_blindrot2.kernel_context_for_params(params, rounded)
     else:
@@ -194,7 +230,7 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
                 T8c = None  # stale/mismatched — rebuild below
             elif kernel:
                 ek.bk_ntt_kernel = jnp.asarray(T8c)
-                return _check_eval_key(ek)
+                return _check_eval_key(_attach_scan_form(ek, ctx, small_batch))
             else:
                 ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c),
                                        variance=ek.bk_variance)
@@ -219,12 +255,13 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         if cache_path:
             # cache write would pull 743 MB back through the relay — skip.
             pass
-        return _check_eval_key(ek)
+        return _check_eval_key(_attach_scan_form(ek, ctx, small_batch))
     if kernel:
         T8c = pallas_ntt_blindrot2.pad_kernel_key(
             ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx))
         assert T8c.shape == expected_shape, (T8c.shape, expected_shape)
         ek.bk_ntt_kernel = jnp.asarray(T8c)
+        _attach_scan_form(ek, ctx, small_batch)
     else:
         key_np = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
                                         variance=float(ek.bk_variance),
@@ -298,7 +335,10 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
     rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2, impl=rotation_impl)
     acc0 = tlwe_noiseless_trivial(rot, k).a                        # (..., k+1, N)
 
-    if ek.bk_ntt_kernel is not None:
+    _B = int(np.prod(ct.b.shape)) if ct.b.shape else 1
+    use_kernel = ek.bk_ntt_kernel is not None and not (
+        _B < SMALL_BATCH_CUTOVER and ek.bk_ntt is not None)
+    if use_kernel:
         from ..ops import pallas_ntt_blindrot2
         batch_shape = ct.b.shape
         B = int(np.prod(batch_shape)) if batch_shape else 1

@@ -59,6 +59,18 @@ LWEPARAMS {``n``(110), alpha_min, alpha_max}; TLWEPARAMS {``N``(78),
 ``k``(107), alpha_min, alpha_max}; TGSWPARAMS {``l``(108), Bgbit};
 LWEKSPARAMS {``n``(110), ``t``(116), ``basebit``}; GATEBOOTSPARAMS
 {``ks_t``(len-4 SSO), ``ks_basebit``} — all matching this module's writers.
+
+KNOWN VALIDATION GAP (r3 VERDICT missing #6): the disassembly pinning above
+is the strongest evidence obtainable in this environment (no Node.js /
+``@permaweb/ao-loader``, zero egress), but the bytes have never been diffed
+against an actual execution of the shipped ``process.wasm``.  Residual risk:
+a mis-read write site or an unobserved field.  To close it once a Node
+toolchain is reachable: copy ``WcCL.../process.wasm`` to
+``/root/reference/tests/process.wasm``, run the reference's own test suite
+(``node --test --experimental-wasm-memory64``) with a hook dumping the
+base64 key/ciphertext blobs, and byte-compare against
+``export_secret_keyset`` / ``write_lwe_sample`` here (the tests run offline
+in ``mode: "test"``).
 """
 
 from __future__ import annotations

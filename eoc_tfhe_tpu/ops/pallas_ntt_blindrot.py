@@ -63,6 +63,29 @@ def prepare_kernel_key(key: ntt.NttKey, ctx: ntt.NttContext) -> jax.Array:
     return x.reshape(n, P, F, JR, 2 * L * UR)
 
 
+def kernel_key_to_scan(T8k: jax.Array, ctx: ntt.NttContext,
+                       U: int = 2) -> jax.Array:
+    """Inverse of :func:`prepare_kernel_key` (+ the v3 DMA padding): kernel
+    layout (n, P, F, Kp, 2*Mp) int8 -> scan-layout NttKey T8
+    (n, P, L, 2, F, JR, UR).
+
+    One device transpose over the prepared key — the cheap way to get the
+    XLA-scan form for the small-batch latency path (bootstrap_woKS cutover,
+    VERDICT r3 item 6) without re-running the NTT key build (~minutes via
+    the relay-compiled builder).
+    """
+    n, P, F, Kp, Mp2 = T8k.shape
+    L, R = ctx.key_limbs, ctx.R
+    JR = ctx.J * R
+    UR = U * R
+    M = L * UR
+    Mp = Mp2 // 2
+    lo = T8k[:, :, :, :JR, :M].reshape(n, P, F, JR, L, UR)
+    hi = T8k[:, :, :, :JR, Mp:Mp + M].reshape(n, P, F, JR, L, UR)
+    x = jnp.stack([lo, hi], axis=4)                  # (n,P,F,JR,limb,L,UR)
+    return jnp.transpose(x, (0, 1, 5, 4, 2, 3, 6))   # (n,P,L,2,F,JR,UR)
+
+
 def prepare_kernel_key_np(T8: np.ndarray) -> np.ndarray:
     """Host-side :func:`prepare_kernel_key` on a numpy T8 — avoids staging the
     ~0.7 GB scan-layout key on device when only the kernel layout is needed."""

@@ -357,7 +357,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                        + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
                        + balv(qv[:, F:, M:], strict=False) * c16v,
                        strict=False)
-            if i16:
+            if os.environ.get("EOC_NTT_I16V") == "1":
+                # inverse-output narrowing: measured neutral-to-slightly-
+                # negative on v5e (probe r4), kept as an off-default toggle
                 vpv = vpv.astype(jnp.int16)
             vp = [vpv[0], vpv[1]]
         else:

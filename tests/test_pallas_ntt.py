@@ -179,3 +179,34 @@ def test_rounded_gate_decrypts_correctly(keyset):
     base = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False)
     out0 = gates.nand(ca, cb, base, p)
     assert float(out.current_variance[0]) > float(out0.current_variance[0])
+
+
+def test_kernel_key_to_scan_roundtrip(keyset):
+    """kernel_key_to_scan inverts prepare_kernel_key + pad_kernel_key."""
+    from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as pnb2
+    p = toy_params()
+    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False)
+    T8k = pnb2.pad_kernel_key(pnb.prepare_kernel_key(ek.bk_ntt, ek.ntt_ctx))
+    back = pnb.kernel_key_to_scan(T8k, ek.ntt_ctx, U=2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(ek.bk_ntt.T8))
+
+
+def test_small_batch_cutover(keyset):
+    """B < SMALL_BATCH_CUTOVER routes through the scan path when the
+    kernel-form key carries the derived scan form — same bits either way."""
+    p = toy_params()
+    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=True,
+                                        small_batch=True)
+    assert ek.bk_ntt_kernel is not None and ek.bk_ntt is not None
+    ek_scan = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False)
+    r = np.random.default_rng(13)
+    B = 2
+    assert B < bootstrap.SMALL_BATCH_CUTOVER
+    a = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    b = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(7), a, keyset.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(8), b, keyset.lwe_key, p)
+    out = gates.nand(ca, cb, ek, p)
+    ref = gates.nand(ca, cb, ek_scan, p)
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))

@@ -41,7 +41,7 @@ def main() -> None:
     # 4096 measured ~4% over 2048.
     from eoc_tfhe_tpu.config import DEFAULT_CONFIG
     B = int(os.environ.get("EOC_BENCH_BATCH", str(DEFAULT_CONFIG.batch_size)))
-    iters = int(os.environ.get("EOC_BENCH_ITERS", "4"))
+    iters = int(os.environ.get("EOC_BENCH_ITERS", "6"))
     # ntt (CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
     form = os.environ.get("EOC_BENCH_FORM", "ntt")
     # form=ntt: EOC_BENCH_ROUNDED=1 (default) uses the v4 rounded-key plan

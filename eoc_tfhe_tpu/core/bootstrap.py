@@ -146,9 +146,10 @@ def _attach_scan_form(ek: EvalKey, ctx, small_batch: bool) -> EvalKey:
     if small_batch and ek.bk_ntt_kernel is not None and ek.bk_ntt is None:
         from ..ops import ntt, pallas_ntt_blindrot
         U = int(ek.bk_rows.shape[2])
-        ek.bk_ntt = ntt.NttKey(
-            T8=pallas_ntt_blindrot.kernel_key_to_scan(ek.bk_ntt_kernel, ctx, U),
-            variance=ek.bk_variance)
+        relayout = jax.jit(partial(pallas_ntt_blindrot.kernel_key_to_scan,
+                                   ctx=ctx, U=U))
+        ek.bk_ntt = ntt.NttKey(T8=relayout(ek.bk_ntt_kernel),
+                               variance=ek.bk_variance)
     return ek
 
 

@@ -69,3 +69,55 @@ def test_ripple_carry_adder_128bit_params():
         _from_bits(gates.decrypt_bit(s_bits, ks.lwe_key)), want & 0xFF)
     np.testing.assert_array_equal(
         gates.decrypt_bit(carry, ks.lwe_key), (want >> nbits) & 1)
+
+
+def test_ripple_borrow_subtractor_8bit(keyset, ek):
+    from eoc_tfhe_tpu.circuits.adder import ripple_borrow_sub
+    nbits = 8
+    a_vals = np.array([50, 13, 255, 7])
+    b_vals = np.array([8, 29, 255, 200])
+    ca = gates.encrypt_bit(jax.random.key(31), jnp.asarray(_bits(a_vals, nbits)),
+                           keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(32), jnp.asarray(_bits(b_vals, nbits)),
+                           keyset.lwe_key, P)
+    d_bits, borrow = ripple_borrow_sub(ca, cb, ek, P)
+    got = _from_bits(np.asarray(gates.decrypt_bit(d_bits, keyset.lwe_key)))
+    got_borrow = np.asarray(gates.decrypt_bit(borrow, keyset.lwe_key))
+    want = (a_vals - b_vals) % 256            # two's-complement wraparound
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_borrow, a_vals < b_vals)
+    # the real homomorphic subtraction the reference's aliased
+    # Tfhe.subtractCiphertexts never performs (tfhe.lua:41-43)
+    assert got[0] == 42                       # 50 - 8
+
+
+def test_compare_and_equality_8bit(keyset, ek):
+    from eoc_tfhe_tpu.circuits.adder import compare_lt, equals
+    nbits = 8
+    a_vals = np.array([5, 200, 77, 0])
+    b_vals = np.array([9, 100, 77, 0])
+    ca = gates.encrypt_bit(jax.random.key(33), jnp.asarray(_bits(a_vals, nbits)),
+                           keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(34), jnp.asarray(_bits(b_vals, nbits)),
+                           keyset.lwe_key, P)
+    lt = gates.decrypt_bit(compare_lt(ca, cb, ek, P), keyset.lwe_key)
+    np.testing.assert_array_equal(np.asarray(lt), a_vals < b_vals)
+    eq = gates.decrypt_bit(equals(ca, cb, ek, P), keyset.lwe_key)
+    np.testing.assert_array_equal(np.asarray(eq), a_vals == b_vals)
+
+
+def test_select_word_8bit(keyset, ek):
+    from eoc_tfhe_tpu.circuits.adder import select_word
+    nbits = 8
+    a_vals = np.array([11, 22])
+    b_vals = np.array([33, 44])
+    sel = np.array([True, False])
+    ca = gates.encrypt_bit(jax.random.key(35), jnp.asarray(_bits(a_vals, nbits)),
+                           keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(36), jnp.asarray(_bits(b_vals, nbits)),
+                           keyset.lwe_key, P)
+    c = gates.encrypt_bit(jax.random.key(37), jnp.asarray(sel),
+                          keyset.lwe_key, P)
+    out = select_word(c, ca, cb, ek, P)
+    got = _from_bits(np.asarray(gates.decrypt_bit(out, keyset.lwe_key)))
+    np.testing.assert_array_equal(got, np.where(sel, a_vals, b_vals))

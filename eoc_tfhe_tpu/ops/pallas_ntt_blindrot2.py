@@ -62,6 +62,9 @@ Overflow audit (int32, K the contraction width, |int8 limb| <= 128):
              (c16*2.1M alone would reach 2.15e9): P00 + 256*(P01+P10)
              + c16*B(P11) <= 2.1M + 1.08e9 + 1023*32256 = 1.12e9  OK
   CRT:       |r2 - r1|*|inv| <= 48K * 16128 = 7.8e8  OK; |V| < p1p2/2 < 2^31
+  rounded plan (key_round_bits=8, 2x12-bit limbs): true coefficient bound
+             doubles (limb_max 2049: J*N*halfBg*2049 = 8.06e8 < p1p2/2 OK);
+             lazy-V consistency |V|+|c| <= 1.047e9 + 8.06e8 < p1p2  OK
 
 Reference: upstream ``tfhe_blindRotate_FFT`` (SURVEY.md §3.5 hot loop #1).
 """

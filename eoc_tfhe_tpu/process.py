@@ -92,9 +92,12 @@ class Process:
     """A deterministic TFHE process: state = f(message log)."""
 
     def __init__(self, params: GateBootstrappingParams | None = None,
-                 process_id: str = ""):
+                 process_id: str = "", process_env: dict | None = None):
         self._params = params
         self.id = process_id
+        #: Process-creation environment (the ``--env K=V`` values of
+        #: ``aos create-process``; surfaced to Lua as ``Process.env.K``).
+        self.process_env = dict(process_env or {})
         self.tfhe: Tfhe | None = None
         self.log: list[tuple[str, str]] = []
         self.handlers: dict[str, Callable[[dict, dict], str]] = {}
@@ -218,6 +221,27 @@ class Process:
         handlers.set("remove", handlers_remove)
         handlers.set("utils", lua.LuaTable({"hasMatchingTag": has_matching_tag}))
         G.set("Handlers", handlers)
+
+        # ``Process`` global: identity + creation env + module loading — the
+        # usage surface the published module README documents
+        # (/root/reference/9qK8.../README.md:38-41,80-99: ``Process.load(id)``,
+        # ``Process.env.JWT_TOKEN``).  ``load`` resolves the two published
+        # TFHE module ids (and the short names) to the Tfhe bridge.
+        proc_t = lua.LuaTable({"Id": self.id,
+                               "env": lua._to_lua(self.process_env)})
+
+        def process_load(module_id):
+            known = {
+                "9qK8gsMKL2ZVOyP7DlPnEXKh_li2Fl_6liydOjprnPQ",
+                "WcCLnB2zVpgkIJd5OECIJTbRXGjzbbPbyxrZemThpuI",
+                "tfhe", ".tfhe",
+            }
+            if module_id in known:
+                return bridge
+            raise lua.LuaError(f"Process.load: unknown module {module_id!r}")
+
+        proc_t.set("load", process_load)
+        G.set("Process", proc_t)
         self._lua_G = G
         return G
 

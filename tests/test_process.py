@@ -122,3 +122,79 @@ def test_router_delivers_between_processes():
         "Data": 'Tfhe.info()'})
     assert resp[0]["Error"] is None and resp[0]["Output"]["data"]["output"] == "OK"
     assert "TFHE Library" in resp[1]["Output"]["data"]["output"]
+
+
+def test_published_module_readme_program():
+    """The published module README's own usage example
+    (/root/reference/9qK8.../README.md:36-63 and 70-118) runs through Eval:
+    Process.load resolves the published module id to the TFHE backend,
+    Process.env carries creation-time values, handlers registered by the
+    chunk compute over encrypted state."""
+    import json as _json
+    from eoc_tfhe_tpu.process import Process
+    p = Process(params=make_test_params(), process_id="readme-proc",
+                process_env={"JWT_TOKEN": "h.p", "JWKS": ""})
+    env = _json.dumps({"Process": {"Id": "readme-proc", "Owner": "F",
+                                   "Module": "M1"}})
+
+    def ev(data):
+        msg = _json.dumps({
+            "Target": "readme-proc", "From": "F", "Owner": "F",
+            "Block-Height": "1", "Id": "m", "Module": "M",
+            "Tags": [{"name": "Action", "value": "Eval"}], "Data": data})
+        r = _json.loads(p.handle(msg, env))
+        assert r["Error"] is None, r["Error"]
+        return r["Output"]["data"]["output"]
+
+    out = ev("""
+        local tfhe = Process.load("9qK8gsMKL2ZVOyP7DlPnEXKh_li2Fl_6liydOjprnPQ")
+        local secret_key = tfhe.generateSecretKey(Process.env.JWT_TOKEN, Process.env.JWKS)
+        local encrypted_a = tfhe.encryptInteger(42, '')
+        local encrypted_b = tfhe.encryptInteger(23, '')
+        local encrypted_sum = tfhe.addCiphertexts(encrypted_a, encrypted_b, '')
+        local result = tfhe.decryptInteger(encrypted_sum, '', Process.env.JWT_TOKEN, Process.env.JWKS)
+        return "The sum is: " .. result
+    """)
+    assert out.endswith("The sum is: 65")
+
+    # stateful handler pattern from the README (state table + table.insert)
+    ev("""
+        state = { encrypted_data = {} }
+        local tfhe = Process.load("tfhe")
+        Handlers.add("encrypt", function(msg)
+            local value = tonumber(msg.Data)
+            table.insert(state.encrypted_data, tfhe.encryptInteger(value, ''))
+            return "Value encrypted and stored"
+        end)
+        Handlers.add("compute-sum", function(msg)
+            local sum = state.encrypted_data[1]
+            for i = 2, #state.encrypted_data do
+                sum = tfhe.addCiphertexts(sum, state.encrypted_data[i], '')
+            end
+            return "Sum of encrypted values: " ..
+                tfhe.decryptInteger(sum, '', Process.env.JWT_TOKEN, '')
+        end)
+        return "registered"
+    """)
+
+    def action(name, data=""):
+        msg = _json.dumps({
+            "Target": "readme-proc", "From": "F", "Owner": "F",
+            "Block-Height": "2", "Id": "m2", "Module": "M",
+            "Tags": [{"name": "Action", "value": name}], "Data": data})
+        r = _json.loads(p.handle(msg, env))
+        assert r["Error"] is None, r["Error"]
+        return r["Output"]["data"]["output"]
+
+    assert "stored" in action("encrypt", "15")
+    assert "stored" in action("encrypt", "27")
+    assert action("compute-sum").endswith("Sum of encrypted values: 42")
+
+    # unknown module ids are rejected, not silently aliased
+    msg = _json.dumps({
+        "Target": "readme-proc", "From": "F", "Owner": "F",
+        "Block-Height": "3", "Id": "m3", "Module": "M",
+        "Tags": [{"name": "Action", "value": "Eval"}],
+        "Data": "return Process.load('not-a-module')"})
+    r = _json.loads(p.handle(msg, env))
+    assert r["Error"] and "unknown module" in r["Error"]

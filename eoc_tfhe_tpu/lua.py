@@ -1043,8 +1043,10 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
         "sub": _sub,
         "upper": lambda s: s.upper(),
         "lower": lambda s: s.lower(),
+        # charge max(count, chars): even rep('', 2^40) must not build a
+        # 2^40-element Python list
         "rep": lambda s, n, sep=None: (
-            (_charge(max(0, (len(s) + len(sep or "")) * int(n))) or
+            (_charge(max(int(n), (len(s) + len(sep or "")) * int(n))) or
              (sep or "").join([s] * int(n)))
             if n and int(n) > 0 else ""),
         "reverse": lambda s: s[::-1],

@@ -170,6 +170,66 @@ class TfheSession:
             c1, c2 = self._import_lwe(b64_c1), self._import_lwe(b64_c2)
             return self._export_lwe(lwe.lwe_sub(c1, c2))
 
+    # -- bootstrapped integer arithmetic (beyond the reference) ------------
+    # The reference's integer ops are leveled only (one LWE sample per int,
+    # works solely because its alpha = 1/(10*Msize) noise never grows past
+    # one addition chain).  These methods expose TRUE gate-bootstrapped
+    # arithmetic through the same base64 string surface: a uint8 is 8 gate-
+    # encoded LWE samples (mu = +-1/8), operations run the circuits layer
+    # (ripple adder/subtractor/comparator), and noise resets at every gate —
+    # unbounded composition depth.
+
+    def encrypt_uint8_bits(self, value: int) -> str:
+        """uint8 -> 8 gate-encoded LWE samples (LSB first), packed base64."""
+        ks = self._require_key()
+        with op_timer("encryptUint8Bits"):
+            from ..core import gates as gates_mod
+            bits = jnp.asarray([(int(value) >> i) & 1 for i in range(8)],
+                               bool)
+            ct = gates_mod.encrypt_bit(self._next_key(), bits, ks.lwe_key,
+                                       self.params)
+            blob = tfhe_io.pack_lwe_samples(
+                np.asarray(ct.a), np.asarray(ct.b),
+                np.asarray(ct.current_variance, np.float64))
+            return tfhe_io.b64encode(blob)
+
+    def decrypt_uint8_bits(self, b64_ct: str) -> int:
+        ks = self._require_key()
+        with op_timer("decryptUint8Bits"):
+            ct = self._import_bits(b64_ct)
+            from ..core import gates as gates_mod
+            bits = np.asarray(gates_mod.decrypt_bit(ct, ks.lwe_key))
+            return int(sum(int(b) << i for i, b in enumerate(bits)))
+
+    def _import_bits(self, b64_ct: str) -> lwe.LweCiphertext:
+        a, b, _v = tfhe_io.unpack_lwe_samples(tfhe_io.b64decode(b64_ct), 8,
+                                              self.params.n)
+        return lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
+                                 current_variance=jnp.zeros(8, jnp.float32))
+
+    def _circuit_binop(self, op: str, b64_a: str, b64_b: str) -> str:
+        self._require_key()
+        from ..circuits import adder as circ
+        api = self.gate_api()
+        ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
+        fn = {"add": circ.ripple_carry_add, "sub": circ.ripple_borrow_sub}[op]
+        out, _flag = fn(ca, cb, api.eval_key, api.params)
+        blob = tfhe_io.pack_lwe_samples(
+            np.asarray(out.a), np.asarray(out.b),
+            np.asarray(out.current_variance, np.float64))
+        return tfhe_io.b64encode(blob)
+
+    def add_uint8_bits(self, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped 8-bit addition (mod 256) — 5 gates/bit, noise reset."""
+        with op_timer("addUint8Bits"):
+            return self._circuit_binop("add", b64_a, b64_b)
+
+    def subtract_uint8_bits(self, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped 8-bit subtraction (mod 256) — the op the reference's
+        Lua API aliases to addition (tfhe.lua:41-43), done for real."""
+        with op_timer("subtractUint8Bits"):
+            return self._circuit_binop("sub", b64_a, b64_b)
+
 
 class Tfhe:
     """Reference-shaped facade: the ``Tfhe.*`` Lua surface (tfhe.lua:4-53).
@@ -246,3 +306,20 @@ class Tfhe:
     def subtractCiphertexts(self, c1: str, c2: str, key: str = "") -> str:
         # Real subtraction (reference Lua aliases this to add, tfhe.lua:41-43).
         return self._s.subtract_ciphertexts(c1, c2)
+
+    # -- bootstrapped 8-bit arithmetic (capability extension) --------------
+
+    def encryptUint8(self, value: int, key: str = "") -> str:
+        return self._s.encrypt_uint8_bits(int(value))
+
+    def decryptUint8(self, ct: str, key: str = "", token: str = "a.b",
+                     jwks: str = "") -> int:
+        if not self._jwt_ok(token, jwks):
+            raise PermissionError("JWT validation failed")
+        return self._s.decrypt_uint8_bits(ct)
+
+    def addUint8(self, c1: str, c2: str, key: str = "") -> str:
+        return self._s.add_uint8_bits(c1, c2)
+
+    def subtractUint8(self, c1: str, c2: str, key: str = "") -> str:
+        return self._s.subtract_uint8_bits(c1, c2)

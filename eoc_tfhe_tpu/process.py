@@ -55,7 +55,10 @@ class EvalError(Exception):
 _TFHE_METHODS = ("info", "testJWT", "generateSecretKey", "generatePublicKey",
                  "encryptInteger", "encryptInteger_dummy", "decryptInteger",
                  "addCiphertexts", "subtractCiphertexts", "encryptASCIIString",
-                 "decryptASCIIString")
+                 "decryptASCIIString",
+                 # bootstrapped 8-bit arithmetic (beyond the reference's
+                 # leveled-only ops; real noise-resetting circuits)
+                 "encryptUint8", "decryptUint8", "addUint8", "subtractUint8")
 
 
 def _tfhe_bridge(t: Tfhe) -> lua.LuaTable:

@@ -96,3 +96,28 @@ def test_session_key_reimport():
     s2 = TfheSession(params=P)
     s2.import_secret_key(blob)
     assert s2.decrypt_integer(ct) == 1234
+
+
+def test_bootstrapped_uint8_arithmetic_api():
+    """Session-level TRUE homomorphic 8-bit arithmetic (beyond the
+    reference's leveled-only integer ops): encrypt as gate-encoded bit
+    ciphertexts, add/subtract via bootstrapped ripple circuits, decrypt."""
+    from eoc_tfhe_tpu.api.tfhe import TfheSession
+    from eoc_tfhe_tpu.config import FrameworkConfig
+    s = TfheSession(params=make_test_params(),
+                    config=FrameworkConfig(param_set="test",
+                                           eval_key_form="rows"))
+    s.generate_secret_key()
+    ca = s.encrypt_uint8_bits(50)
+    cb = s.encrypt_uint8_bits(8)
+    assert s.decrypt_uint8_bits(ca) == 50
+    assert s.decrypt_uint8_bits(s.add_uint8_bits(ca, cb)) == 58
+    # real subtraction — the reference's Tfhe.subtractCiphertexts aliases to
+    # addition (tfhe.lua:41-43); this is the missing capability, done with
+    # noise-resetting bootstraps
+    assert s.decrypt_uint8_bits(s.subtract_uint8_bits(ca, cb)) == 42
+    # wraparound semantics (mod 256, like an 8-bit CPU)
+    c200 = s.encrypt_uint8_bits(200)
+    c100 = s.encrypt_uint8_bits(100)
+    assert s.decrypt_uint8_bits(s.add_uint8_bits(c200, c100)) == 44
+    assert s.decrypt_uint8_bits(s.subtract_uint8_bits(c100, c200)) == 156

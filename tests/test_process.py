@@ -198,3 +198,25 @@ def test_published_module_readme_program():
         "Data": "return Process.load('not-a-module')"})
     r = _json.loads(p.handle(msg, env))
     assert r["Error"] and "unknown module" in r["Error"]
+
+
+def test_bootstrapped_uint8_via_lua():
+    """The bootstrapped 8-bit ops are reachable from the Lua surface."""
+    import json as _json
+    from eoc_tfhe_tpu.process import Process
+    p = Process(params=make_test_params(), process_id="u8")
+    env = _json.dumps({"Process": {"Id": "u8", "Owner": "F", "Module": "M"}})
+    msg = _json.dumps({
+        "Target": "u8", "From": "F", "Owner": "F", "Block-Height": "1",
+        "Id": "m", "Module": "M",
+        "Tags": [{"name": "Action", "value": "Eval"}],
+        "Data": """
+            Tfhe.generateSecretKey('h.p', '')
+            local a = Tfhe.encryptUint8(50, '')
+            local b = Tfhe.encryptUint8(8, '')
+            local d = Tfhe.subtractUint8(a, b, '')
+            return 'diff=' .. Tfhe.decryptUint8(d, '', 'h.p', '')
+        """})
+    r = _json.loads(p.handle(msg, env))
+    assert r["Error"] is None, r["Error"]
+    assert r["Output"]["data"]["output"].endswith("diff=42")

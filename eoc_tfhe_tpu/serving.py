@@ -1,0 +1,213 @@
+"""Batching gate server — the production-serving tier.
+
+The fused blind-rotate kernel reaches its throughput at batches of
+hundreds-to-thousands of gates (ROOFLINE.md), while callers typically hold
+one or a few ciphertexts.  This module aggregates concurrent gate requests
+into padded device batches, runs ONE batched bootstrapped gate per (gate
+kind, flush), and scatters the results back — the TPU-serving analog of the
+reference's one-message-at-a-time wasm loop (which has no batching tier at
+all; every ``handle`` call pays a full single bootstrap).
+
+Design:
+  * pure-functional core ops underneath; the server owns only queues;
+  * one background worker thread drives the device (JAX dispatch is not
+    re-entrant-friendly across threads; a single submitter serializes it);
+  * flush policy: ``max_batch`` gates or ``max_delay_s`` since the oldest
+    queued request, whichever first — the standard latency/throughput knob;
+  * per-kind queues (nand/and_/or_/xor_/...): one compiled program per kind,
+    reused across flushes (padded to pow2-ish buckets to bound recompiles).
+
+No external dependencies; ``concurrent.futures.Future`` is the result
+handle.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import gates
+from .core.lwe import LweCiphertext, lwe_index
+from .core.bootstrap import EvalKey
+from .core.params import GateBootstrappingParams
+
+#: Gate kinds servable by name.
+GATE_FNS = {name: getattr(gates, name)
+            for name in ("nand", "and_", "or_", "nor", "xor_", "xnor",
+                         "andny", "andyn", "orny", "oryn")}
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n (capped) — bounds compile variants."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+@dataclass
+class _Request:
+    ca: LweCiphertext
+    cb: LweCiphertext
+    future: Future
+    t_enqueue: float = field(default_factory=time.monotonic)
+
+
+class GateServer:
+    """Aggregates two-input boolean-gate requests into batched bootstraps.
+
+    Usage::
+
+        srv = GateServer(ek, params, max_batch=1024, max_delay_s=0.005)
+        srv.start()
+        fut = srv.submit("nand", ca, cb)     # ca/cb: single LWE ciphertexts
+        out = fut.result()                    # LweCiphertext
+        srv.stop()
+    """
+
+    def __init__(self, ek: EvalKey, params: GateBootstrappingParams,
+                 max_batch: int = 1024, max_delay_s: float = 0.005,
+                 rotation_impl: str = "auto"):
+        self.ek = ek
+        self.params = params
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_s
+        self.rotation_impl = rotation_impl
+        self._queues: dict[str, list[_Request]] = {k: [] for k in GATE_FNS}
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        self.stats = {"flushes": 0, "gates": 0, "padded_slots": 0}
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, kind: str, ca: LweCiphertext, cb: LweCiphertext) -> Future:
+        if kind not in GATE_FNS:
+            raise ValueError(f"unknown gate kind {kind!r}; one of "
+                             f"{sorted(GATE_FNS)}")
+        if ca.b.ndim != 0 or cb.b.ndim != 0:
+            raise ValueError("submit() takes single (scalar-batch) ciphertexts")
+        fut: Future = Future()
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("server stopped")
+            self._queues[kind].append(_Request(ca, cb, fut))
+        self._wake.set()
+        return fut
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "GateServer":
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="eoc-gate-server")
+            self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        if drain:
+            self.flush()
+        with self._lock:
+            self._stop = True
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- server side -------------------------------------------------------
+
+    def flush(self) -> int:
+        """Synchronously run everything queued (any thread). Returns the
+        number of gates executed."""
+        done = 0
+        while True:
+            batch = self._take_ready(force=True)
+            if batch is None:
+                return done
+            done += self._run_batch(*batch)
+
+    def _take_ready(self, force: bool) -> tuple[str, list[_Request]] | None:
+        now = time.monotonic()
+        with self._lock:
+            best: str | None = None
+            for kind, q in self._queues.items():
+                if not q:
+                    continue
+                due = force or len(q) >= self.max_batch or \
+                    (now - q[0].t_enqueue) >= self.max_delay_s
+                if due and (best is None or
+                            len(q) > len(self._queues[best])):
+                    best = kind
+            if best is None:
+                return None
+            q = self._queues[best]
+            take, self._queues[best] = q[: self.max_batch], q[self.max_batch:]
+            return best, take
+
+    def _run_batch(self, kind: str, reqs: list[_Request]) -> int:
+        B = len(reqs)
+        Bp = _bucket(B, self.max_batch)
+        try:
+            # stack + pad to the bucket (repeat the last request — results
+            # for pad slots are discarded; repeating keeps inputs valid)
+            def stack(cts):
+                a = jnp.stack([c.a for c in cts] + [cts[-1].a] * (Bp - B))
+                b = jnp.stack([c.b for c in cts] + [cts[-1].b] * (Bp - B))
+                v = jnp.stack([c.current_variance for c in cts]
+                              + [cts[-1].current_variance] * (Bp - B))
+                return LweCiphertext(a=a, b=b, current_variance=v)
+
+            ca = stack([r.ca for r in reqs])
+            cb = stack([r.cb for r in reqs])
+            out = GATE_FNS[kind](ca, cb, self.ek, self.params,
+                                 self.rotation_impl)
+            jax.block_until_ready(out.b)
+        except Exception as exc:   # surface the failure on every future
+            for r in reqs:
+                if not r.future.cancelled():
+                    r.future.set_exception(exc)
+            return 0
+        for i, r in enumerate(reqs):
+            if not r.future.cancelled():
+                r.future.set_result(lwe_index(out, i))
+        self.stats["flushes"] += 1
+        self.stats["gates"] += B
+        self.stats["padded_slots"] += Bp - B
+        return B
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                if self._stop and not any(self._queues.values()):
+                    return
+            batch = self._take_ready(force=False)
+            if batch is not None:
+                self._run_batch(*batch)
+                continue
+            # nothing due: sleep until the next deadline or a new submit
+            with self._lock:
+                oldest = min((q[0].t_enqueue for q in self._queues.values()
+                              if q), default=None)
+                stopping = self._stop
+            if oldest is None:
+                if stopping:
+                    return
+                self._wake.wait(timeout=0.05)
+            else:
+                wait = self.max_delay_s - (time.monotonic() - oldest)
+                if wait > 0:
+                    self._wake.wait(timeout=wait)
+            self._wake.clear()

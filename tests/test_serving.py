@@ -1,0 +1,83 @@
+"""Batching gate server: aggregation, correctness, flush policy, errors."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eoc_tfhe_tpu.core import bootstrap, gates, keys
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
+from eoc_tfhe_tpu.serving import GateServer
+
+P = make_test_params()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(3), P)
+    ek = bootstrap.prepare_eval_key(ks.cloud)
+    return ks, ek
+
+
+def _enc(ks, bits, seed):
+    return gates.encrypt_bit(jax.random.key(seed), jnp.asarray(bits),
+                             ks.lwe_key, P)
+
+
+def test_batched_correctness_and_aggregation(setup):
+    ks, ek = setup
+    rng = np.random.default_rng(0)
+    n_req = 12
+    a = rng.integers(0, 2, n_req).astype(bool)
+    b = rng.integers(0, 2, n_req).astype(bool)
+    ca = _enc(ks, a, 1)
+    cb = _enc(ks, b, 2)
+
+    with GateServer(ek, P, max_batch=16, max_delay_s=0.2) as srv:
+        futs = [srv.submit("nand", jax.tree.map(lambda x: x[i], ca),
+                           jax.tree.map(lambda x: x[i], cb))
+                for i in range(n_req)]
+        srv.flush()
+        outs = [f.result(timeout=120) for f in futs]
+    got = np.asarray([bool(gates.decrypt_bit(o, ks.lwe_key)) for o in outs])
+    np.testing.assert_array_equal(got, ~(a & b))
+    # aggregation actually happened: far fewer flushes than requests
+    assert srv.stats["gates"] == n_req
+    assert srv.stats["flushes"] <= 2
+
+
+def test_mixed_kinds_and_delay_flush(setup):
+    ks, ek = setup
+    a = np.array([0, 1], bool)
+    b = np.array([1, 1], bool)
+    ca, cb = _enc(ks, a, 4), _enc(ks, b, 5)
+    srv = GateServer(ek, P, max_batch=8, max_delay_s=0.01).start()
+    try:
+        f1 = srv.submit("xor_", jax.tree.map(lambda x: x[0], ca),
+                        jax.tree.map(lambda x: x[0], cb))
+        f2 = srv.submit("and_", jax.tree.map(lambda x: x[1], ca),
+                        jax.tree.map(lambda x: x[1], cb))
+        # delay-based flush (no explicit flush call): worker must drain both
+        r1 = f1.result(timeout=180)
+        r2 = f2.result(timeout=180)
+    finally:
+        srv.stop()
+    assert bool(gates.decrypt_bit(r1, ks.lwe_key)) == (a[0] ^ b[0])
+    assert bool(gates.decrypt_bit(r2, ks.lwe_key)) == (a[1] & b[1])
+
+
+def test_errors_and_validation(setup):
+    ks, ek = setup
+    ca = _enc(ks, np.array([1], bool), 6)
+    srv = GateServer(ek, P)
+    with pytest.raises(ValueError, match="unknown gate kind"):
+        srv.submit("nandy", jax.tree.map(lambda x: x[0], ca),
+                   jax.tree.map(lambda x: x[0], ca))
+    with pytest.raises(ValueError, match="single"):
+        srv.submit("nand", ca, ca)       # batched input rejected
+    srv.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        srv.submit("nand", jax.tree.map(lambda x: x[0], ca),
+                   jax.tree.map(lambda x: x[0], ca))

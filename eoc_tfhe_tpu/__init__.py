@@ -12,11 +12,13 @@ Layers (bottom-up, mirroring SURVEY.md §1):
   core.lwe / tlwe / tgsw      — batched ciphertext algebra
   ops.polymul / rotate / keyswitch — the MXU compute kernels
   core.keys / bootstrap / gates    — keygen, gate bootstrapping, boolean API
-  circuits                     — gate-level circuits (ripple-carry adder, ...)
+  circuits                     — gate-level integer circuits (add/sub/compare)
   io.tfhe_io                   — reference-compatible serialization
   api.tfhe                     — the ``Tfhe.*`` wrapper surface (base64 strings)
   parallel                     — mesh/sharding (dp batch, tp keyswitch rows)
   process                      — deterministic message-replay runtime (AO analog)
+  serving                      — batching gate server (production serving tier)
+  config                       — one typed FrameworkConfig for everything
 """
 
 from .core.params import (GateBootstrappingParams, LweParams, TLweParams,
@@ -30,6 +32,9 @@ from .core.keys import (BootstrappingKey, CloudKeySet, KeySwitchKey, SecretKeySe
                         new_random_gate_bootstrapping_secret_keyset)
 from .core.bootstrap import EvalKey, bootstrap, bootstrap_woKS, prepare_eval_key
 from .core import gates
+from .core.bootstrap import prepare_eval_key_ntt, prepare_eval_key_fused
 from .api.tfhe import Tfhe, TfheSession
+from .config import FrameworkConfig, DEFAULT_CONFIG
+from .serving import GateServer
 
 __version__ = "0.1.0"

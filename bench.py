@@ -266,12 +266,57 @@ def main() -> None:
                 + (f"-rb{ctx.key_round_bits}" if ctx.key_round_bits else "-exact"))
     else:
         plan = limbs if form in ("fused", "chunked") else "exact"
+    # Optional serving-tier measurement (EOC_BENCH_SERVER=1): N concurrent
+    # single-gate submits through the batching GateServer — the production
+    # path small-request traffic takes (serving.py).
+    server_stats = None
+    if os.environ.get("EOC_BENCH_SERVER"):
+        from eoc_tfhe_tpu.serving import GateServer
+        import jax.tree_util  # noqa: F401
+        Ns = int(os.environ.get("EOC_BENCH_SERVER_N", "2048"))
+        cas = gates.encrypt_bit(jax.random.key(7), jnp.asarray(a[:Ns]),
+                                keyset.lwe_key, params)
+        cbs = gates.encrypt_bit(jax.random.key(8), jnp.asarray(b[:Ns]),
+                                keyset.lwe_key, params)
+        # client-side ciphertexts live on the host (numpy rows): one
+        # device transfer happens at batch-stack time, not per request
+        def rows(ct):
+            an, bn, vn = (np.asarray(ct.a), np.asarray(ct.b),
+                          np.asarray(ct.current_variance))
+            return [LweCiphertext(a=an[i], b=bn[i], current_variance=vn[i])
+                    for i in range(Ns)]
+        singles = list(zip(rows(cas), rows(cbs)))
+        with GateServer(ek, params, max_batch=Ns, max_delay_s=0.5) as srv:
+            # wave 1: pays the per-bucket-shape compiles
+            futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
+            srv.flush()
+            [f.result(timeout=600) for f in futs]
+            # wave 2: steady state (same shapes, warm programs)
+            t0 = time.time()
+            futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
+            srv.flush()
+            outs = [f.result(timeout=600) for f in futs]
+            dt_srv = time.time() - t0
+        out_ct = LweCiphertext(
+            a=jnp.asarray(np.stack([o.a for o in outs])),
+            b=jnp.asarray(np.stack([o.b for o in outs])),
+            current_variance=jnp.zeros(Ns, jnp.float32))
+        got_srv = np.asarray(gates.decrypt_bit(out_ct, keyset.lwe_key))
+        ok_srv = bool(np.array_equal(got_srv, ~(a[:Ns] & b[:Ns])))
+        server_stats = {"requests": Ns, "gates_per_s": round(Ns / dt_srv, 2),
+                        "flushes": srv.stats["flushes"], "correct": ok_srv}
+        print(f"# server: {Ns} reqs in {dt_srv:.2f}s = "
+              f"{Ns/dt_srv:,.0f} gates/s, {srv.stats['flushes']} flushes, "
+              f"correct={ok_srv}", file=sys.stderr)
+
     cfg = {"form": form, "batch": B, "params": which,
            "limbs": plan,
            "correct": ok, "keygen_s": round(keygen_s, 1),
            "compile_s": round(compile_s, 1)}
     if b1_ms is not None:
         cfg["b1_latency_ms"] = b1_ms
+    if server_stats:
+        cfg["server"] = server_stats
     if scaling:
         cfg["scaling"] = scaling
     print(json.dumps({

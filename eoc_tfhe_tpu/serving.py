@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import gates
-from .core.lwe import LweCiphertext, lwe_index
+from .core.lwe import LweCiphertext
 from .core.bootstrap import EvalKey
 from .core.params import GateBootstrappingParams
 
@@ -80,6 +80,9 @@ class GateServer:
         self.max_delay_s = max_delay_s
         self.rotation_impl = rotation_impl
         self._queues: dict[str, list[_Request]] = {k: [] for k in GATE_FNS}
+        # One jitted program per gate kind (jax re-specializes per bucket
+        # shape); eval key passes as an argument — never baked into the HLO.
+        self._compiled: dict[str, object] = {}
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
@@ -162,19 +165,37 @@ class GateServer:
         Bp = _bucket(B, self.max_batch)
         try:
             # stack + pad to the bucket (repeat the last request — results
-            # for pad slots are discarded; repeating keeps inputs valid)
+            # for pad slots are discarded; repeating keeps inputs valid).
+            # Stacking happens on the HOST, then ONE device transfer per
+            # operand: jnp.stack over N rows would dispatch N tiny
+            # host->device copies (measured pathological through the relay).
             def stack(cts):
-                a = jnp.stack([c.a for c in cts] + [cts[-1].a] * (Bp - B))
-                b = jnp.stack([c.b for c in cts] + [cts[-1].b] * (Bp - B))
-                v = jnp.stack([c.current_variance for c in cts]
-                              + [cts[-1].current_variance] * (Bp - B))
-                return LweCiphertext(a=a, b=b, current_variance=v)
+                a = np.stack([np.asarray(c.a) for c in cts]
+                             + [np.asarray(cts[-1].a)] * (Bp - B))
+                b = np.stack([np.asarray(c.b) for c in cts]
+                             + [np.asarray(cts[-1].b)] * (Bp - B))
+                v = np.stack([np.asarray(c.current_variance) for c in cts]
+                             + [np.asarray(cts[-1].current_variance)]
+                             * (Bp - B))
+                return LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
+                                     current_variance=jnp.asarray(v))
 
             ca = stack([r.ca for r in reqs])
             cb = stack([r.cb for r in reqs])
-            out = GATE_FNS[kind](ca, cb, self.ek, self.params,
-                                 self.rotation_impl)
-            jax.block_until_ready(out.b)
+            gate = self._compiled.get(kind)
+            if gate is None:
+                base = GATE_FNS[kind]
+
+                @jax.jit
+                def gate(ca, cb, ek, _base=base):
+                    out = _base(ca, cb, ek, self.params, self.rotation_impl)
+                    return out.a, out.b, out.current_variance
+
+                self._compiled[kind] = gate
+            # ONE device->host transfer per flush; futures hold host-resident
+            # ciphertexts (a server hands results back to clients as host
+            # data, and per-request device slices would cost a dispatch each)
+            oa, ob, ov = jax.device_get(gate(ca, cb, self.ek))
         except Exception as exc:   # surface the failure on every future
             for r in reqs:
                 if not r.future.cancelled():
@@ -182,7 +203,8 @@ class GateServer:
             return 0
         for i, r in enumerate(reqs):
             if not r.future.cancelled():
-                r.future.set_result(lwe_index(out, i))
+                r.future.set_result(LweCiphertext(
+                    a=oa[i], b=ob[i], current_variance=ov[i]))
         self.stats["flushes"] += 1
         self.stats["gates"] += B
         self.stats["padded_slots"] += Bp - B

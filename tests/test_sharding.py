@@ -148,3 +148,47 @@ def test_freq_split_all_to_all_matches_replicated(keyset):
         out = np.asarray(blind_rotate_ntt_freq_tp(acc0, bara, T8s, P, ctx,
                                                   mesh))
         np.testing.assert_array_equal(out, ref)
+
+
+def test_scaling_report_harness(keyset, ek):
+    """The scaling harness (BASELINE >=85%-at->=2-hosts methodology) runs on
+    the virtual farm: it times single-device vs mesh throughput and reports
+    per-chip efficiency.  Virtual CPU devices share one core, so no
+    efficiency threshold is asserted here — the harness itself (mesh
+    construction, batch scaling, report shape) is what's under test; real
+    numbers need a pod."""
+    from eoc_tfhe_tpu.parallel.distributed import scaling_report
+    from eoc_tfhe_tpu.parallel.sharded import make_sharded_nand
+    mesh = make_mesh(dp=4, tp=2)
+    a = np.array([0, 1] * 4, bool)
+    b = np.array([1, 1] * 4, bool)
+
+    def run_fn(m, B):
+        reps = -(-B // 8)
+        ca = gates.encrypt_bit(jax.random.key(41),
+                               jnp.asarray(np.tile(a, reps)[:B]),
+                               keyset.lwe_key, P)
+        cb = gates.encrypt_bit(jax.random.key(42),
+                               jnp.asarray(np.tile(b, reps)[:B]),
+                               keyset.lwe_key, P)
+        ks_var = jnp.float32(keyset.cloud.bk.ks.variance)
+        if m is None:
+            def step():
+                out = gates.nand(ca, cb, ek, P)
+                jax.block_until_ready(out.b)
+            return step
+        fn = make_sharded_nand(m, P)
+        args = (ca.a, ca.b, ca.current_variance, cb.a, cb.b,
+                cb.current_variance, ek.bk_rows, ek.bk_variance,
+                ek.ks_prepared, ks_var)
+
+        def step():
+            jax.block_until_ready(fn(*args)[1])
+        return step
+
+    rep = scaling_report(run_fn, batch_sizes=[8], mesh=mesh, iters=2)
+    assert rep["devices"] == 8
+    (pt,) = rep["points"]
+    assert pt["single_dev_per_s"] > 0 and pt["mesh_per_s"] > 0
+    assert pt["per_chip_per_s"] == pytest.approx(pt["mesh_per_s"] / 8)
+    assert 0 < pt["scaling_efficiency"]

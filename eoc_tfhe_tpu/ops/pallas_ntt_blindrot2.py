@@ -190,6 +190,10 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     R, L = ctx.R, ctx.key_limbs
     S = R
     tg = params.tgsw_params
+    # gadget digits are fed to the MXU as single int8 values; larger bases
+    # (80-bit set: Bg=2^10) must use the scan path's 2-limb digit split
+    assert tg.halfBg <= 128, (
+        f"fused kernel requires halfBg <= 128, got {tg.halfBg}")
     J, tgl = tg.kpl, tg.l
     M = L * U * R
     US = U * S

@@ -210,3 +210,24 @@ def test_small_batch_cutover(keyset):
     ref = gates.nand(ca, cb, ek_scan, p)
     np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+
+
+def test_wide_gadget_base_falls_back_to_scan():
+    """80-bit-style parameters (Bg=2^10: digits exceed int8) must never take
+    the fused kernel path — round-4 finding: the kernel silently truncated
+    the digits and decrypted WRONG at the 80-bit set on TPU."""
+    p = params_mod.test_params(n=8, N=64, k=1, l=2, Bgbit=10)
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(1), p)
+    with pytest.raises(ValueError, match="halfBg"):
+        bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel=True)
+    ek = bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel="auto")
+    assert ek.form == "ntt_scan" and ek.bk_ntt_kernel is None
+    r = np.random.default_rng(3)
+    a = jnp.asarray(r.integers(0, 2, 8).astype(bool))
+    b = jnp.asarray(r.integers(0, 2, 8).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(2), a, ks.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(3), b, ks.lwe_key, p)
+    out = gates.nand(ca, cb, ek, p)
+    np.testing.assert_array_equal(
+        np.asarray(gates.decrypt_bit(out, ks.lwe_key)),
+        ~(np.asarray(a) & np.asarray(b)))

@@ -117,6 +117,29 @@ def _winv_cat_i8(ctx: ntt.NttContext) -> np.ndarray:
     return np.stack(outs).astype(np.int8)
 
 
+def _winv_cat256_i8(ctx: ntt.NttContext) -> np.ndarray:
+    """(P, 4F, F) int8: per prime, limbs of Winv^T AND of (256*Winv^T mod p),
+    rows [A_lo; A_hi; B_lo; B_hi].
+
+    The inverse then runs as TWO dots, A @ c_lo + B @ c_hi, with the c-limb
+    scale 256 folded into B — this removes the c16-weighted quadrant (and
+    its extra lazy reduction + multiply) from the inverse combine entirely:
+    V_raw = (qA+qB)_lo + 256*(qA+qB)_hi === Winv @ (c_lo + 256*c_hi) mod p.
+    Overflow: 4 partials <= F*128^2 = 2.1e6 each; |sum| <= 2*2.1e6 +
+    256*2*2.1e6 = 1.08e9 < 2^30.4 — inside the lazy-Barrett domain.
+    """
+    outs = []
+    for p in ctx.primes:
+        _, Winv = ntt._ntt_matrices_np(p, ctx.F)
+        blocks = []
+        for W in (Winv.T, ntt._balanced_np(256 * Winv.T, p)):
+            lo = ((W + 128) % 256) - 128
+            hi = (W - lo) >> 8
+            blocks += [lo, hi]
+        outs.append(np.concatenate(blocks, axis=0))
+    return np.stack(outs).astype(np.int8)
+
+
 def _bal(z, p, strict=True):
     """Balanced Barrett reduction (ops/ntt.balanced_reduce; |z| < 2^30.5)."""
     zf = z.astype(jnp.float32)
@@ -233,7 +256,13 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     rb = ctx.key_round_bits
 
     WfT = jnp.asarray(_wt_cat_i8(ctx))     # (P, 2F, F)
-    Wi = jnp.asarray(_winv_cat_i8(ctx))    # (P, 2F, F)
+    # Pre-scaled 4F-row inverse (c16 quadrant folded away) wins on the
+    # rounded 2-limb plan (M=32: 32.8 -> 30.7 us/step-tile measured) but
+    # REGRESSES the exact 3-limb plan (M=48: 40.4 -> 48.5) — Mosaic
+    # schedules the two narrower dots worse at that width.  Gate by plan.
+    prescaled_inv = batched_primes and ctx.key_limbs == 2
+    Wi = jnp.asarray(_winv_cat256_i8(ctx) if prescaled_inv
+                     else _winv_cat_i8(ctx))
     # int16 transients for the lazy residues between the dots: |r| <=
     # p/2+92 <= 32348 fits int16, halving the VMEM traffic of the dhat/chat
     # stages (measured -1.4 us/step-tile round 4; EOC_NTT_I16=0 reverts)
@@ -336,34 +365,68 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 # VMEM traffic of the transient if Mosaic materializes it
                 dhat = dhat.astype(jnp.int16)
             lo, hi = _split8(dhat)
-            d8 = jnp.concatenate([lo, hi], axis=3)      # (P, F, K, 2Bt)
 
             # Mosaic supports one matmul batch dim: flatten (P, F) -> P*F
             # (major-axis reshape, free).
-            d8f = d8.reshape(P * F, K, 2 * Bt)
             T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
             T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
-            zz_lo = jax.lax.dot_general(
-                T_lo, d8f, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
-            zz_hi = jax.lax.dot_general(
-                T_hi, d8f, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
-            chat = balv(zz_lo[..., :Bt]
-                        + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
-                        + zz_hi[..., Bt:] * c16v,
-                        strict=False)
+            if os.environ.get("EOC_NTT_PW4") == "1":
+                # four quadrant dots on the bare limb tensors — skips the
+                # (P, F, K, 2Bt) lane-concat copy of d8, but measured ~1.8us
+                # SLOWER on v5e (extra dot dispatches outweigh the copy);
+                # kept as an off-default probe toggle
+                dlo = lo.reshape(P * F, K, Bt)
+                dhi = hi.reshape(P * F, K, Bt)
+
+                def pwdot(Tm, dm):
+                    return jax.lax.dot_general(
+                        Tm, dm, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=_I32).reshape(P, F, M, Bt)
+
+                P00 = pwdot(T_lo, dlo)
+                P01 = pwdot(T_hi, dlo)
+                P10 = pwdot(T_lo, dhi)
+                P11 = pwdot(T_hi, dhi)
+                chat = balv(P00 + ((P01 + P10) << 8) + P11 * c16v,
+                            strict=False)
+            else:
+                d8 = jnp.concatenate([lo, hi], axis=3)  # (P, F, K, 2Bt)
+                d8f = d8.reshape(P * F, K, 2 * Bt)
+                zz_lo = jax.lax.dot_general(
+                    T_lo, d8f, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
+                zz_hi = jax.lax.dot_general(
+                    T_hi, d8f, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)
+                chat = balv(zz_lo[..., :Bt]
+                            + ((zz_hi[..., :Bt] + zz_lo[..., Bt:]) << 8)
+                            + zz_hi[..., Bt:] * c16v,
+                            strict=False)
             if i16:
                 chat = chat.astype(jnp.int16)
-            clo, chi = _split8(chat)
-            c8 = jnp.concatenate([clo, chi], axis=2)    # (P, F, 2M, Bt)
-            qv = jax.lax.dot_general(
-                wi_ref[:], c8, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=_I32)            # (P, 2F, 2M, Bt)
-            vpv = balv(qv[:, :F, :M]
-                       + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
-                       + balv(qv[:, F:, M:], strict=False) * c16v,
-                       strict=False)
+            clo, chi = _split8(chat)                    # (P, F, M, Bt) each
+            if prescaled_inv:
+                # Two dots against the pre-scaled inverse matrix (A = Winv,
+                # B = 256*Winv mod p; see _winv_cat256_i8): the c-limb scale
+                # is folded into B, so the combine needs no c16 quadrant, no
+                # inner reduction, and no c8 lane concat.
+                qA = jax.lax.dot_general(
+                    wi_ref[:, :2 * F], clo, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32)        # (P, 2F, M, Bt)
+                qB = jax.lax.dot_general(
+                    wi_ref[:, 2 * F:], chi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32)
+                qs = qA + qB
+                vpv = balv(qs[:, :F] + (qs[:, F:] << 8), strict=False)
+            else:
+                c8 = jnp.concatenate([clo, chi], axis=2)   # (P, F, 2M, Bt)
+                qv = jax.lax.dot_general(
+                    wi_ref[:], c8, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32)        # (P, 2F, 2M, Bt)
+                vpv = balv(qv[:, :F, :M]
+                           + ((qv[:, :F, M:] + qv[:, F:, :M]) << 8)
+                           + balv(qv[:, F:, M:], strict=False) * c16v,
+                           strict=False)
             if os.environ.get("EOC_NTT_I16V") == "1":
                 # inverse-output narrowing: measured neutral-to-slightly-
                 # negative on v5e (probe r4), kept as an off-default toggle
@@ -479,7 +542,7 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 2 * F, F), lambda i, bt: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 2 * F, F), lambda i, bt: (0, 0, 0),
+                pl.BlockSpec(tuple(Wi.shape), lambda i, bt: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((F, U, S, Bt), lambda i, bt: (0, 0, 0, bt),

@@ -154,6 +154,21 @@ def _attach_scan_form(ek: EvalKey, ctx, small_batch: bool) -> EvalKey:
 
 
 
+def _maybe_expand_kernel_key(ek: EvalKey, ctx, params) -> EvalKey:
+    """Optional expanded [A; 256A mod p] kernel key
+    (ops/pallas_ntt_blindrot2.expand_kernel_key_256): halves the pointwise
+    dot-output traffic but doubles the key stream and narrows the
+    contraction to 96 rows — measured NET SLOWER end-to-end on v5e (5,910
+    vs 6,235/s), so it stays off unless EOC_NTT_EXPAND_KEY=1."""
+    if (ek.bk_ntt_kernel is not None and ctx.key_limbs == 2
+            and os.environ.get("EOC_NTT_EXPAND_KEY") == "1"):
+        from ..ops import pallas_ntt_blindrot2
+        expand = jax.jit(partial(pallas_ntt_blindrot2.expand_kernel_key_256,
+                                 ctx=ctx, params=params))
+        ek.bk_ntt_kernel = expand(ek.bk_ntt_kernel)
+    return ek
+
+
 #: Batches below this use the XLA-scan blind rotation even when the fused
 #: Pallas kernel key is available: a Pallas dispatch costs ~26 ms through
 #: the axon relay (scripts/probes/tpu_probe5.py) and the kernel always pays
@@ -244,7 +259,9 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
                 T8c = None  # stale/mismatched — rebuild below
             elif kernel:
                 ek.bk_ntt_kernel = jnp.asarray(T8c)
-                return _check_eval_key(_attach_scan_form(ek, ctx, small_batch))
+                _attach_scan_form(ek, ctx, small_batch)
+                return _check_eval_key(
+                    _maybe_expand_kernel_key(ek, ctx, params))
             else:
                 ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c),
                                        variance=ek.bk_variance)
@@ -269,13 +286,15 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         if cache_path:
             # cache write would pull 743 MB back through the relay — skip.
             pass
-        return _check_eval_key(_attach_scan_form(ek, ctx, small_batch))
+        _attach_scan_form(ek, ctx, small_batch)
+        return _check_eval_key(_maybe_expand_kernel_key(ek, ctx, params))
     if kernel:
         T8c = pallas_ntt_blindrot2.pad_kernel_key(
             ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx))
         assert T8c.shape == expected_shape, (T8c.shape, expected_shape)
         ek.bk_ntt_kernel = jnp.asarray(T8c)
         _attach_scan_form(ek, ctx, small_batch)
+        _maybe_expand_kernel_key(ek, ctx, params)
     else:
         key_np = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
                                         variance=float(ek.bk_variance),

@@ -194,6 +194,41 @@ def pad_kernel_key(T8k: jax.Array | np.ndarray):
     return jnp.concatenate([jnp.pad(lo, pad_k), jnp.pad(hi, pad_k)], axis=-1)
 
 
+def expand_kernel_key_256(T8k: jax.Array, ctx: ntt.NttContext,
+                          params: GateBootstrappingParams) -> jax.Array:
+    """Fold the digit-limb scale into the key: (n, P, F, Kp, 2Mp) ->
+    (n, P, F, 2K, 2Mp) with rows [A(K); B(K)], A = T, B = 256*T mod p.
+
+    The pointwise stage then contracts [d_lo; d_hi] (2K rows) against A/B in
+    ONE lane-width: chat === A@d_lo + B@d_hi === T@(d_lo + 256*d_hi) mod p —
+    the quadrant lane doubling (2Bt) and the c16 term disappear, HALVING the
+    pointwise dot-output traffic (the kernel's biggest tensor after q).
+    Overflow: |zz_lo + 256*zz_hi| <= 2K*128^2*257 = 4.04e8 < 2^30.4 — one
+    lazy Barrett suffices.  Key doubles to ~1.5 GB (HBM) / +1 MB VMEM tile;
+    the step key stream grows ~1 ms/call — noise next to the ~3.4 us/step
+    saved.  Row block A equals the original unpadded rows, so
+    ``kernel_key_to_scan`` keeps working on the expanded key.
+    """
+    n, P, F, Kp, Mp2 = T8k.shape
+    Mp = Mp2 // 2
+    K = ctx.J * ctx.R
+    U = params.tgsw_params.tlwe_params.k + 1
+    M = ctx.key_limbs * U * ctx.R
+    assert Kp >= K and Mp >= M
+    out_blocks = []
+    for pi, p in enumerate(ctx.primes):
+        lo = T8k[:, pi, :, :K, :M].astype(jnp.int32)
+        hi = T8k[:, pi, :, :K, Mp:Mp + M].astype(jnp.int32)
+        r = lo + (hi << 8)                       # balanced residue, |r| <= p/2
+        b = ntt.balanced_reduce((r << 8).astype(jnp.int32), p)   # 256*r mod p
+        blo, bhi = ntt.split_i8(b)
+        z = jnp.zeros((n, F, K, Mp - M), _I8)
+        A = T8k[:, pi, :, :K, :].astype(_I8)
+        B = jnp.concatenate([blo.astype(_I8), z, bhi.astype(_I8), z], axis=-1)
+        out_blocks.append(jnp.concatenate([A, B], axis=2))  # (n, F, 2K, 2Mp)
+    return jnp.stack(out_blocks, axis=1)                    # (n, P, F, 2K, 2Mp)
+
+
 def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                              T8k: jax.Array, ctx: ntt.NttContext,
                              params: GateBootstrappingParams,
@@ -227,6 +262,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     Mp = Mp2 // 2
     assert F == ctx.F and Kp >= K and Mp >= M and N == R * F
     assert P == len(ctx.primes) == 2
+    # expanded key (expand_kernel_key_256): rows [A(K); B(K)] — inferable
+    # because the padded unexpanded row count is roundup(K, 32) != 2K here
+    expanded_key = Kp == 2 * K and Kp != -(-K // 32) * 32
     sb = (R - 1).bit_length()          # log2 R  (s-stages)
     fb = (F - 1).bit_length()          # log2 F  (t-stages)
     assert R == 1 << sb and F == 1 << fb and 2 * N == 1 << (sb + fb + 1)
@@ -368,15 +406,33 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
 
             # Mosaic supports one matmul batch dim: flatten (P, F) -> P*F
             # (major-axis reshape, free).
-            T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
-            T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
-            if os.environ.get("EOC_NTT_PW4") == "1":
+            if expanded_key:
+                # Expanded [A; B] key (expand_kernel_key_256): the digit-limb
+                # scale lives in the B rows, so the contraction runs over
+                # 2K = [d_lo; d_hi] rows and the dot outputs carry Bt lanes
+                # (not 2Bt) and need no c16 term — half the pointwise
+                # dot-output traffic of the quadrant form.
+                dcat = jnp.concatenate([lo, hi], axis=2)   # (P, F, 2K, Bt)
+                dcf = dcat.reshape(P * F, 2 * K, Bt)
+                T2_lo = T_ref[0, :, :, :, :M].reshape(P * F, 2 * K, M)
+                T2_hi = T_ref[0, :, :, :, Mp:Mp + M].reshape(P * F, 2 * K, M)
+                zz_lo = jax.lax.dot_general(
+                    T2_lo, dcf, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32).reshape(P, F, M, Bt)
+                zz_hi = jax.lax.dot_general(
+                    T2_hi, dcf, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=_I32).reshape(P, F, M, Bt)
+                # |zz_lo + 256*zz_hi| <= 2K*128^2*257 = 4.04e8 < 2^30.4
+                chat = balv(zz_lo + (zz_hi << 8), strict=False)
+            elif os.environ.get("EOC_NTT_PW4") == "1":
                 # four quadrant dots on the bare limb tensors — skips the
                 # (P, F, K, 2Bt) lane-concat copy of d8, but measured ~1.8us
                 # SLOWER on v5e (extra dot dispatches outweigh the copy);
                 # kept as an off-default probe toggle
                 dlo = lo.reshape(P * F, K, Bt)
                 dhi = hi.reshape(P * F, K, Bt)
+                T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
+                T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
 
                 def pwdot(Tm, dm):
                     return jax.lax.dot_general(
@@ -392,6 +448,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             else:
                 d8 = jnp.concatenate([lo, hi], axis=3)  # (P, F, K, 2Bt)
                 d8f = d8.reshape(P * F, K, 2 * Bt)
+                T_lo = T_ref[0, :, :, :K, :M].reshape(P * F, K, M)
+                T_hi = T_ref[0, :, :, :K, Mp:Mp + M].reshape(P * F, K, M)
                 zz_lo = jax.lax.dot_general(
                     T_lo, d8f, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=_I32).reshape(P, F, M, 2 * Bt)

@@ -41,13 +41,16 @@ def run(name, rb, block_b=128):
                            primes=p2.KERNEL_PRIMES, key_round_bits=rb)
     F, R = ctx.F, ctx.R
     K = -(-(tg.kpl * R) // 32) * 32
+    if ctx.key_limbs == 2:
+        K = 2 * tg.kpl * R      # expanded [A; B] key (expand_kernel_key_256)
     M = -(-(ctx.key_limbs * (k + 1) * R) // 64) * 64
     Bx = max(B, block_b)
     acc = acc0 if Bx == B else jnp.tile(acc0, (Bx // B, 1, 1))
     ts = {}
     for n in (630, 1260):
-        T8k = jax.random.randint(jax.random.key(1), (n, 2, F, K, 2 * M),
-                                 -128, 128, dtype=jnp.int32).astype(jnp.int8)
+        T8k = jax.lax.bitcast_convert_type(
+            jax.random.bits(jax.random.key(1), (n, 2, F, K, 2 * M),
+                            dtype=jnp.uint8), jnp.int8)
         bara = jax.random.randint(jax.random.key(2), (n, Bx), 0, 2 * N,
                                   dtype=jnp.int32)
         jax.block_until_ready((T8k, bara))

@@ -231,3 +231,36 @@ def test_wide_gadget_base_falls_back_to_scan():
     np.testing.assert_array_equal(
         np.asarray(gates.decrypt_bit(out, ks.lwe_key)),
         ~(np.asarray(a) & np.asarray(b)))
+
+
+def test_expanded_kernel_key_bit_exact(keyset):
+    """The 2-limb plans store the expanded [A; 256A mod p] kernel key
+    (pointwise runs over 2K rows, no quadrant lanes); results stay bit-exact
+    vs the scan path, and the derived scan form still works (its row slice
+    is the A block)."""
+    import os
+    p = toy_params()
+    os.environ["EOC_NTT_EXPAND_KEY"] = "1"       # off-default (slower on v5e)
+    try:
+        ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=True,
+                                            rounded=True, small_batch=True)
+    finally:
+        os.environ.pop("EOC_NTT_EXPAND_KEY")
+    ctx = ek.ntt_ctx
+    assert ctx.key_limbs == 2
+    K = ctx.J * ctx.R
+    assert ek.bk_ntt_kernel.shape[3] == 2 * K    # expanded rows [A; B]
+    assert ek.bk_ntt is not None                  # scan form derived too
+
+    ek_scan = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
+                                             rounded=True)
+    r = np.random.default_rng(17)
+    B = 8
+    a = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    b = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(9), a, keyset.lwe_key, p)
+    cb = gates.encrypt_bit(jax.random.key(10), b, keyset.lwe_key, p)
+    out = gates.nand(ca, cb, ek, p)
+    ref = gates.nand(ca, cb, ek_scan, p)
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))

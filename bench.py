@@ -164,7 +164,7 @@ def main() -> None:
                                 keyset.lwe_key, params)
         np.asarray(nand_step(ca1, cb1, ek)[1])       # compile+warm
         t1s = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             jax.block_until_ready(nand_step(ca1, cb1, ek))
             t1s.append(time.time() - t0)

@@ -45,10 +45,19 @@ Round-3 refinements on top (each measured on the real chip):
     to one matmul batch dim — Mosaic supports only one) and vectorized
     per-prime reduction constants.
 
-Measured roofline (see ``/root/repo/ROOFLINE.md``): ~41 us/step/tile on
-v5e after the lazy-reduction rework (dots ~10 us near MXU peak, barrel
-~2 us, elementwise combines ~29 us) — the limb-split elementwise chain the
-exact-mod-2^32 arithmetic forces is the VPU-bound floor (~32 us).
+Round-4 additions (each measured on the real chip; ``ROOFLINE.md`` r4):
+
+  * **rounded-key plan** (``ctx.key_round_bits > 0``): key rounded to its
+    top 32-rb bits so 2x12-bit limbs meet the CRT bound — M drops 48 -> 32.
+  * **int16 lazy-residue transients** between the dots (EOC_NTT_I16).
+  * **pre-scaled inverse** for 2-limb plans (``_winv_cat256_i8``): the
+    c-limb scale folded into a 4F-row Winv constant — no c16 quadrant, no
+    inner reduction, no lane concat on the inverse.
+
+Measured v4 roofline: ~30.7 us/step/128-tile on v5e for the rounded plan
+(~98% of the VMEM-traffic floor of this dataflow; exact plan ~40 us),
+~6,200 end-to-end gate bootstraps/s/chip.  r3 state for reference: ~41 us
+exact (dots ~10 us near MXU peak, barrel ~2 us, elementwise ~29 us).
 
 Consumes the SAME key tensor layout as v1 ((n, P, F, J*R, 2*L*U*R) int8
 from ``prepare_kernel_key[_np]``, then padded), so key preparation is

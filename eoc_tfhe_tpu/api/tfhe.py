@@ -87,6 +87,10 @@ class TfheSession:
 
     def import_secret_key(self, b64: str) -> None:
         self.keyset, self.params = tfhe_io.import_secret_keyset(tfhe_io.b64decode(b64))
+        # The cached gate API holds an eval key built from the PREVIOUS cloud
+        # key; keeping it would make addUint8/subtractUint8 silently compute
+        # under a stale key (round-4 ADVICE medium finding).
+        self._gate_api = None
 
     def _require_key(self) -> SecretKeySet:
         if self.keyset is None:
@@ -202,10 +206,12 @@ class TfheSession:
             return int(sum(int(b) << i for i, b in enumerate(bits)))
 
     def _import_bits(self, b64_ct: str) -> lwe.LweCiphertext:
-        a, b, _v = tfhe_io.unpack_lwe_samples(tfhe_io.b64decode(b64_ct), 8,
-                                              self.params.n)
+        a, b, v = tfhe_io.unpack_lwe_samples(tfhe_io.b64decode(b64_ct), 8,
+                                             self.params.n)
+        # Keep the unpacked per-sample variance (like _import_lwe does) so
+        # the tracked noise rail sees the true input noise (r4 ADVICE low).
         return lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
-                                 current_variance=jnp.zeros(8, jnp.float32))
+                                 current_variance=jnp.asarray(v, jnp.float32))
 
     def _circuit_binop(self, op: str, b64_a: str, b64_b: str) -> str:
         self._require_key()

@@ -75,6 +75,11 @@ class EvalKey:
     bk_ntt_kernel: jax.Array | None = None
     #: Which fast path this key is prepared for (static metadata).
     form: str = dataclasses.field(default="rows", metadata=dict(static=True))
+    #: Whether bk_ntt_kernel is the expanded [A; 256A] layout
+    #: (ops/pallas_ntt_blindrot2.expand_kernel_key_256) — explicit flag, not
+    #: inferred from padding shape (r4 ADVICE low).
+    kernel_key_expanded: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -166,6 +171,7 @@ def _maybe_expand_kernel_key(ek: EvalKey, ctx, params) -> EvalKey:
         expand = jax.jit(partial(pallas_ntt_blindrot2.expand_kernel_key_256,
                                  ctx=ctx, params=params))
         ek.bk_ntt_kernel = expand(ek.bk_ntt_kernel)
+        ek.kernel_key_expanded = True
     return ek
 
 
@@ -386,7 +392,8 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
             bara_f = jnp.concatenate(
                 [bara_f, jnp.zeros((params.n, pad), jnp.int32)], axis=1)
         acc = pallas_ntt_blindrot2.blind_rotate_ntt_pallas2(
-            acc0_f, bara_f, ek.bk_ntt_kernel, ek.ntt_ctx, params)
+            acc0_f, bara_f, ek.bk_ntt_kernel, ek.ntt_ctx, params,
+            expanded=ek.kernel_key_expanded)
         acc = acc[:B].reshape(batch_shape + (k + 1, N))
     elif ek.bk_ntt is not None:
         from ..ops import ntt

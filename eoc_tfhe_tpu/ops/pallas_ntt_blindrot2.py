@@ -242,7 +242,8 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                              T8k: jax.Array, ctx: ntt.NttContext,
                              params: GateBootstrappingParams,
                              block_b: int = 128,
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             expanded: bool | None = None) -> jax.Array:
     """Fused v3 NTT blind rotation.
 
     Args:
@@ -251,6 +252,11 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
       T8k:  (n, P, F, Kp, 2*Mp) int8 — ``prepare_kernel_key`` layout, padded
             by :func:`pad_kernel_key` (unpadded keys are accepted and padded
             here), primes matching ``ctx``.
+      expanded: whether T8k is the [A; 256A] form from
+            :func:`expand_kernel_key_256`.  Callers that know (e.g.
+            ``prepare_eval_key_ntt`` via ``EvalKey.kernel_key_expanded``)
+            must pass it; None falls back to shape inference, which is
+            ambiguous when ``J*R == 16`` (r4 ADVICE low) and raises there.
     Returns (B, k+1, N) int32.
     """
     B, U, N = acc0.shape
@@ -271,9 +277,16 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     Mp = Mp2 // 2
     assert F == ctx.F and Kp >= K and Mp >= M and N == R * F
     assert P == len(ctx.primes) == 2
-    # expanded key (expand_kernel_key_256): rows [A(K); B(K)] — inferable
-    # because the padded unexpanded row count is roundup(K, 32) != 2K here
-    expanded_key = Kp == 2 * K and Kp != -(-K // 32) * 32
+    if expanded is None:
+        # shape inference: the padded unexpanded row count is roundup(K, 32);
+        # the expanded [A; B] form has 2K rows.  When those coincide
+        # (J*R == 16) the layouts are indistinguishable — require the flag.
+        if 2 * K == -(-K // 32) * 32 and Kp == 2 * K:
+            raise ValueError(
+                "expanded-key layout is ambiguous at J*R == 16; pass "
+                "expanded= explicitly (see EvalKey.kernel_key_expanded)")
+        expanded = Kp == 2 * K and Kp != -(-K // 32) * 32
+    expanded_key = expanded
     sb = (R - 1).bit_length()          # log2 R  (s-stages)
     fb = (F - 1).bit_length()          # log2 F  (t-stages)
     assert R == 1 << sb and F == 1 << fb and 2 * N == 1 << (sb + fb + 1)

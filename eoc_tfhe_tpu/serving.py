@@ -15,7 +15,15 @@ Design:
   * flush policy: ``max_batch`` gates or ``max_delay_s`` since the oldest
     queued request, whichever first — the standard latency/throughput knob;
   * per-kind queues (nand/and_/or_/xor_/...): one compiled program per kind,
-    reused across flushes (padded to pow2-ish buckets to bound recompiles).
+    reused across flushes (padded to pow2-ish buckets to bound recompiles);
+  * **seeded uploads**: requests may carry ``SeededLweCiphertext`` inputs
+    (mask = PRNG seed, 12 B instead of 2,524 B per operand) — the masks are
+    re-derived on-device inside the gate program, eliminating the
+    host->device upload that dominated the r4 serving gap (ROOFLINE.md:
+    ~10 MB per 2,048-gate flush over a ~20 MB/s relay);
+  * **pipelined flushes**: a batch executes in chunks with async
+    device->host copies, so result download overlaps the next chunk's
+    compute (measured: 2x1024 pipelined 0.44 s vs 0.60 s serial).
 
 No external dependencies; ``concurrent.futures.Future`` is the result
 handle.
@@ -33,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import gates
-from .core.lwe import LweCiphertext
+from .core.lwe import LweCiphertext, SeededLweCiphertext, lwe_seeded_expand
 from .core.bootstrap import EvalKey
 from .core.params import GateBootstrappingParams
 
@@ -73,17 +81,28 @@ class GateServer:
 
     def __init__(self, ek: EvalKey, params: GateBootstrappingParams,
                  max_batch: int = 1024, max_delay_s: float = 0.005,
-                 rotation_impl: str = "auto"):
+                 rotation_impl: str = "auto", pipeline_chunk: int = 1024):
         self.ek = ek
         self.params = params
         self.max_batch = max_batch
         self.max_delay_s = max_delay_s
         self.rotation_impl = rotation_impl
-        self._queues: dict[str, list[_Request]] = {k: [] for k in GATE_FNS}
+        #: Batches larger than this execute as a pipeline of chunks with
+        #: async D2H so result download overlaps the next chunk's compute.
+        self.pipeline_chunk = pipeline_chunk
+        # Queues keyed (gate kind, seeded?) — a flush batch must be
+        # homogeneous in input representation to stack into one program.
+        self._queues: dict[tuple[str, bool], list[_Request]] = {
+            (k, s): [] for k in GATE_FNS for s in (False, True)}
         # One jitted program per gate kind (jax re-specializes per bucket
         # shape); eval key passes as an argument — never baked into the HLO.
         self._compiled: dict[str, object] = {}
         self._lock = threading.Lock()
+        # Serializes _run_batch across threads: flush() runs batches on the
+        # calling thread while the worker may be mid-batch (r4 ADVICE low) —
+        # device dispatch, self._compiled and self.stats are only touched
+        # while holding this lock.
+        self._exec_lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
         self._thread: threading.Thread | None = None
@@ -91,17 +110,23 @@ class GateServer:
 
     # -- client side -------------------------------------------------------
 
-    def submit(self, kind: str, ca: LweCiphertext, cb: LweCiphertext) -> Future:
+    def submit(self, kind: str, ca, cb) -> Future:
+        """Queue one gate.  ``ca``/``cb``: scalar-batch ``LweCiphertext`` or
+        ``SeededLweCiphertext`` (both operands the same representation —
+        seeded is the wire-efficient upload, see module docstring)."""
         if kind not in GATE_FNS:
             raise ValueError(f"unknown gate kind {kind!r}; one of "
                              f"{sorted(GATE_FNS)}")
-        if ca.b.ndim != 0 or cb.b.ndim != 0:
+        seeded = isinstance(ca, SeededLweCiphertext)
+        if seeded != isinstance(cb, SeededLweCiphertext):
+            raise ValueError("operands must both be seeded or both plain")
+        if np.ndim(ca.b) != 0 or np.ndim(cb.b) != 0:
             raise ValueError("submit() takes single (scalar-batch) ciphertexts")
         fut: Future = Future()
         with self._lock:
             if self._stop:
                 raise RuntimeError("server stopped")
-            self._queues[kind].append(_Request(ca, cb, fut))
+            self._queues[kind, seeded].append(_Request(ca, cb, fut))
         self._wake.set()
         return fut
 
@@ -160,42 +185,78 @@ class GateServer:
             take, self._queues[best] = q[: self.max_batch], q[self.max_batch:]
             return best, take
 
-    def _run_batch(self, kind: str, reqs: list[_Request]) -> int:
+    def _run_batch(self, qkey: tuple[str, bool], reqs: list[_Request]) -> int:
+        with self._exec_lock:
+            return self._run_batch_locked(qkey, reqs)
+
+    def _gate_program(self, qkey: tuple[str, bool]):
+        gate = self._compiled.get(qkey)
+        if gate is None:
+            kind, seeded = qkey
+            base = GATE_FNS[kind]
+            n = self.params.n
+
+            if seeded:
+                @jax.jit
+                def gate(casd, cab, cav, cbsd, cbb, cbv, ek):
+                    # masks re-derived on-device from the 12 B/request seeds
+                    ca = lwe_seeded_expand(SeededLweCiphertext(
+                        casd, cab, cav), n)
+                    cb = lwe_seeded_expand(SeededLweCiphertext(
+                        cbsd, cbb, cbv), n)
+                    out = base(ca, cb, ek, self.params, self.rotation_impl)
+                    return out.a, out.b, out.current_variance
+            else:
+                @jax.jit
+                def gate(caa, cab, cav, cba, cbb, cbv, ek):
+                    out = base(LweCiphertext(caa, cab, cav),
+                               LweCiphertext(cba, cbb, cbv),
+                               ek, self.params, self.rotation_impl)
+                    return out.a, out.b, out.current_variance
+
+            self._compiled[qkey] = gate
+        return gate
+
+    def _run_batch_locked(self, qkey: tuple[str, bool],
+                          reqs: list[_Request]) -> int:
+        _kind, seeded = qkey
         B = len(reqs)
         Bp = _bucket(B, self.max_batch)
+        chunk = min(self.pipeline_chunk, Bp)
         try:
             # stack + pad to the bucket (repeat the last request — results
             # for pad slots are discarded; repeating keeps inputs valid).
-            # Stacking happens on the HOST, then ONE device transfer per
-            # operand: jnp.stack over N rows would dispatch N tiny
+            # Stacking happens on the HOST, then one device transfer per
+            # operand per chunk: jnp.stack over N rows would dispatch N tiny
             # host->device copies (measured pathological through the relay).
+            mask_field = "seed" if seeded else "a"
+
             def stack(cts):
-                a = np.stack([np.asarray(c.a) for c in cts]
-                             + [np.asarray(cts[-1].a)] * (Bp - B))
-                b = np.stack([np.asarray(c.b) for c in cts]
-                             + [np.asarray(cts[-1].b)] * (Bp - B))
-                v = np.stack([np.asarray(c.current_variance) for c in cts]
-                             + [np.asarray(cts[-1].current_variance)]
-                             * (Bp - B))
-                return LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
-                                     current_variance=jnp.asarray(v))
+                rows = [(np.asarray(getattr(c, mask_field)), np.asarray(c.b),
+                         np.asarray(c.current_variance)) for c in cts]
+                rows += [rows[-1]] * (Bp - B)
+                return (np.stack([r[0] for r in rows]),
+                        np.stack([r[1] for r in rows]),
+                        np.stack([r[2] for r in rows]))
 
             ca = stack([r.ca for r in reqs])
             cb = stack([r.cb for r in reqs])
-            gate = self._compiled.get(kind)
-            if gate is None:
-                base = GATE_FNS[kind]
+            gate = self._gate_program(qkey)
 
-                @jax.jit
-                def gate(ca, cb, ek, _base=base):
-                    out = _base(ca, cb, ek, self.params, self.rotation_impl)
-                    return out.a, out.b, out.current_variance
-
-                self._compiled[kind] = gate
-            # ONE device->host transfer per flush; futures hold host-resident
-            # ciphertexts (a server hands results back to clients as host
-            # data, and per-request device slices would cost a dispatch each)
-            oa, ob, ov = jax.device_get(gate(ca, cb, self.ek))
+            # Pipelined chunks: dispatch every chunk's H2D + compute + async
+            # D2H before blocking on any result — the relay download of
+            # chunk k overlaps the compute of chunk k+1 (module docstring).
+            outs = []
+            for o in range(0, Bp, chunk):
+                args = [jnp.asarray(x[o:o + chunk]) for x in ca + cb]
+                out = gate(*args, self.ek)
+                for x in out:
+                    x.copy_to_host_async()
+                outs.append(out)
+            parts = [jax.device_get(o) for o in outs]
+            oa = np.concatenate([p[0] for p in parts])
+            ob = np.concatenate([p[1] for p in parts])
+            ov = np.concatenate([p[2] for p in parts])
         except Exception as exc:   # surface the failure on every future
             for r in reqs:
                 if not r.future.cancelled():

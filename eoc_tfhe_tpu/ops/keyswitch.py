@@ -35,10 +35,18 @@ def prepare_keyswitch_matmul(ks: KeySwitchKey) -> jax.Array:
     at B=2048 on v5e; the bf16 form is ~1 ms).
     """
     n_in, t, base, m = ks.ks.shape
-    table = ks.ks.at[:, :, 0, :].set(0)
-    limbs = polymul.decompose_signed_limbs(table)      # (n_in, t, base, m, L)
-    return limbs.astype(jnp.bfloat16).reshape(n_in * t * base,
-                                              m * polymul.LIMBS)
+
+    # One jitted program (not eager op-by-op): each eager dispatch pays an
+    # axon-relay round trip plus a cold-cache compile, and this runs inside
+    # the keygen budget (r5: eager form measured ~7-20 s cold, jitted ~2 s).
+    @jax.jit
+    def build(table):
+        table = table.at[:, :, 0, :].set(0)
+        limbs = polymul.decompose_signed_limbs(table)  # (n_in, t, base, m, L)
+        return limbs.astype(jnp.bfloat16).reshape(n_in * t * base,
+                                                  m * polymul.LIMBS)
+
+    return build(ks.ks)
 
 
 def keyswitch_digits(a: jax.Array, t: int, basebit: int) -> jax.Array:

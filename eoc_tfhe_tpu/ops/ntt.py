@@ -284,9 +284,15 @@ def make_context(N: int, J: int, halfBg: int, R: int | None = None,
         assert np.abs(hi).max() <= 127, "matrix residues exceed 2-limb int8 range"
         return np.stack([lo, hi]).astype(np.int8)
 
-    Wf8 = jnp.asarray(np.stack([limbs8(W) for W, _ in mats]))
-    Wi8 = jnp.asarray(np.stack([limbs8(Wi) for _, Wi in mats]))
-    omega = jnp.asarray(np.stack(omegas).astype(np.int32))
+    # HOST numpy, deliberately: the context is closed over by jitted build
+    # graphs, and a closed-over jax.Array constant forces a device->host
+    # fetch at LOWERING time — seconds per array through the axon relay and
+    # the dominant, bandwidth-variable term of cold keygen (round-5 probe:
+    # 9-33 s of `_array_mlir_constant_handler`).  numpy constants lower
+    # directly; jnp ops consume them unchanged.
+    Wf8 = np.stack([limbs8(W) for W, _ in mats])
+    Wi8 = np.stack([limbs8(Wi) for _, Wi in mats])
+    omega = np.stack(omegas).astype(np.int32)
     return NttContext(Wf8=Wf8, Wi8=Wi8, omega=omega, N=N, R=R, F=F,
                       primes=tuple(primes), key_limbs=limbs, key_limb_bits=bits,
                       halfBg=halfBg, J=J, key_round_bits=key_round_bits)

@@ -127,10 +127,20 @@ def _read_f32(f, shape) -> np.ndarray:
     return np.frombuffer(f.read(4 * count), "<f4").reshape(shape).copy()
 
 
-def load_llama2c(path: str, max_seq_len: int | None = None
+def load_llama2c(path, max_seq_len: int | None = None
                  ) -> tuple[LlamaConfig, dict]:
-    """Read a v0 or v1 llama2.c checkpoint -> (config, layer-stacked params)."""
-    with open(path, "rb") as f:
+    """Read a v0/v1/v2 llama2.c checkpoint -> (config, layer-stacked params).
+
+    ``path`` may be a filesystem path or a binary file-like object (e.g. a
+    BytesIO over bytes fetched through the WeaveDrive-analog virtual FS /
+    publish chain — the AO-Llama load path, models/ao_llama.py).
+    """
+    if hasattr(path, "read"):
+        import contextlib
+        opener = contextlib.nullcontext(path)
+    else:
+        opener = open(path, "rb")
+    with opener as f:
         first = struct.unpack("<I", f.read(4))[0]
         group_size = 0
         if first == _MAGIC:

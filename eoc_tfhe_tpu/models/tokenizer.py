@@ -33,16 +33,24 @@ class Tokenizer:
 
     @classmethod
     def load(cls, path: str) -> "Tokenizer":
-        tokens, scores = [], []
         with open(path, "rb") as f:
-            (_max_len,) = struct.unpack("<I", f.read(4))
-            while True:
-                head = f.read(8)
-                if len(head) < 8:
-                    break
-                score, ln = struct.unpack("<fI", head)
-                tokens.append(f.read(ln))
-                scores.append(score)
+            return cls.loads(f.read())
+
+    @classmethod
+    def loads(cls, data: bytes) -> "Tokenizer":
+        """Parse tokenizer.bin bytes (e.g. fetched through the publish
+        chain / virtual FS — the AO-Llama load path)."""
+        import io as _io
+        tokens, scores = [], []
+        f = _io.BytesIO(data)
+        (_max_len,) = struct.unpack("<I", f.read(4))
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            score, ln = struct.unpack("<fI", head)
+            tokens.append(f.read(ln))
+            scores.append(score)
         return cls(tokens, scores)
 
     def save(self, path: str) -> None:

@@ -95,12 +95,21 @@ class Process:
     """A deterministic TFHE process: state = f(message log)."""
 
     def __init__(self, params: GateBootstrappingParams | None = None,
-                 process_id: str = "", process_env: dict | None = None):
+                 process_id: str = "", process_env: dict | None = None,
+                 model_store=None, vfs=None):
         self._params = params
         self.id = process_id
         #: Process-creation environment (the ``--env K=V`` values of
         #: ``aos create-process``; surfaced to Lua as ``Process.env.K``).
         self.process_env = dict(process_env or {})
+        #: Model-loading backends for the AO-Llama surface: a publish-chain
+        #: store (models/publish.Store) and/or a WeaveDrive-analog virtual FS
+        #: (io/virtualfs.VirtualFS).  The ``Llama`` Lua table is always
+        #: registered (parity with the wasm boot, SURVEY.md §3.1);
+        #: ``Llama.load`` fails deterministically when neither is given.
+        self.model_store = model_store
+        self.vfs = vfs
+        self._llama_backend = None
         self.tfhe: Tfhe | None = None
         self.log: list[tuple[str, str]] = []
         self.handlers: dict[str, Callable[[dict, dict], str]] = {}
@@ -161,10 +170,13 @@ class Process:
         if self._lua_G is not None:
             return self._lua_G
         bridge = _tfhe_bridge(self._t())
+        llama_t, llama_backend_t = self._llama_tables()
 
         G = lua.make_stdlib(self._prints.append, self._crypto,
-                            modules={".tfhe": bridge, "tfhe": bridge})
+                            modules={".tfhe": bridge, "tfhe": bridge,
+                                     "llama": llama_backend_t})
         G.set("Tfhe", bridge)
+        G.set("Llama", llama_t)
 
         ao = lua.LuaTable({"id": self.id})
 
@@ -247,6 +259,69 @@ class Process:
         G.set("Process", proc_t)
         self._lua_G = G
         return G
+
+    def _llama_tables(self) -> tuple[lua.LuaTable, lua.LuaTable]:
+        """The AO-Llama surface: (``Llama`` shim table, ``require("llama")``
+        backend table).
+
+        The reference boots ``Llama = <shim>; Llama.backend =
+        require("llama")`` into the same process as ``Tfhe`` (wasm strings;
+        ``/root/reference/build.sh:113-116``; SURVEY.md §3.1).  The backend
+        table carries the ao-llama C binding names (``load / set_prompt /
+        add / run / next / stop``); the shim mirrors the Lua module embedded
+        in the shipped wasm (``Llama.load/setPrompt/add/run/next/stop/info``
+        plus the ``onLog``/``onProgress``/``logLevels`` plumbing), with the
+        JAX engine behind it (models/ao_llama.py)."""
+        llama_t = lua.LuaTable()
+        levels = lua.LuaTable({2: "error", 3: "warn", 4: "info", 5: "debug"})
+        llama_t.set("logLevels", levels)
+        llama_t.set("logLevel", 5)
+        llama_t.set("logToStderr", False)   # sandbox has no stderr handle
+        llama_t.set("log", lua.LuaTable())
+
+        def llama_on_log(level, s):
+            # the shim's Llama.onLog: store under log[levelname] when
+            # level <= Llama.logLevel (reference shim, wasm strings)
+            lvl = llama_t.get("logLevel")
+            if not isinstance(lvl, (int, float)) or level > lvl:
+                return
+            name = levels.get(level) or str(level)
+            log = llama_t.get("log")
+            bucket = log.get(name)
+            if not isinstance(bucket, lua.LuaTable):
+                bucket = lua.LuaTable()
+                log.set(name, bucket)
+            bucket.set(bucket.length() + 1, lua.lua_tostring(s))
+
+        def llama_backend():
+            if self._llama_backend is None:
+                from .models.ao_llama import LlamaBackend
+                self._llama_backend = LlamaBackend(
+                    store=self.model_store, vfs=self.vfs,
+                    on_log=llama_on_log)
+            return self._llama_backend
+
+        backend_t = lua.LuaTable()
+        for bname in ("load", "set_prompt", "add", "run", "next", "stop"):
+            def bwrap(m=bname):
+                def call(*args):
+                    return getattr(llama_backend(), m)(*args)
+                return call
+            backend_t.set(bname, bwrap())
+
+        llama_t.set("backend", backend_t)
+        llama_t.set("info", lambda: (
+            "A decentralized LLM inference engine, built on top of "
+            "llama.cpp."))
+        llama_t.set("load", lambda item_id: backend_t.get("load")(item_id))
+        llama_t.set("setPrompt", lambda p: backend_t.get("set_prompt")(p))
+        llama_t.set("add", lambda s: backend_t.get("add")(s))
+        llama_t.set("run", lambda n: backend_t.get("run")(n))
+        llama_t.set("next", lambda: backend_t.get("next")())
+        llama_t.set("stop", lambda: backend_t.get("stop")())
+        llama_t.set("onLog", lambda level, s: llama_on_log(level, s))
+        llama_t.set("onProgress", lambda s: None)
+        return llama_t, backend_t
 
     def _msg_to_lua(self, msg: dict) -> lua.LuaTable:
         t = lua._to_lua(msg)

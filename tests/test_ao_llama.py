@@ -1,0 +1,153 @@
+"""AO-Llama parity: the ``Llama`` Lua surface inside the process sandbox.
+
+The reference ships LLM inference co-resident with the TFHE core in one
+deterministic process, driven from Lua (``Llama.backend = require("llama")``
+— wasm string; SURVEY.md §3.1; ``/root/reference/build.sh:113-116``).  These
+tests drive the tiny golden model (tests/data, goldens produced by the
+INDEPENDENT numpy oracle tests/llama_oracle.py) end-to-end through
+``Process.handle`` Eval chunks — the reference's own integration-test style
+(``tests/tfhe.test.js:64-71``) — and through both model-loading channels
+(publish chain and the WeaveDrive-analog virtual FS).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eoc_tfhe_tpu.process import Process
+from eoc_tfhe_tpu.core.params import test_params as make_test_params
+from eoc_tfhe_tpu.models import publish, tokenizer
+from eoc_tfhe_tpu.models.ao_llama import LlamaBackend, LlamaBackendError
+from eoc_tfhe_tpu.io.virtualfs import VirtualFS, LocalBackend
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+ENV = json.dumps({"Process": {"Id": "AOS", "Owner": "FOOBAR", "Module": "M1"}})
+
+
+def _eval(p, src):
+    r = json.loads(p.handle(json.dumps({
+        "Tags": [{"name": "Action", "value": "Eval"}],
+        "Data": src, "Block-Height": 100}), ENV))
+    assert r["Error"] is None, r["Error"]
+    return r["Output"]["data"]["output"]
+
+
+def _model_bytes():
+    with open(os.path.join(_DATA, "llama_tiny_v0.bin"), "rb") as f:
+        model = f.read()
+    with open(os.path.join(_DATA, "llama_tiny_tok.bin"), "rb") as f:
+        tok = f.read()
+    return model, tok
+
+
+def _golden_text():
+    """The oracle-golden greedy continuation of "hello world", decoded."""
+    gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
+    tok = tokenizer.Tokenizer.load(os.path.join(_DATA, "llama_tiny_tok.bin"))
+    return gold, "".join(tok.decode([int(t)]) for t in gold["generated"][0])
+
+
+@pytest.fixture()
+def store(tmp_path):
+    """Tiny golden model published as the reference's Next-linked chain
+    (two chunks, so the walk is exercised)."""
+    st = publish.LocalStore(str(tmp_path / "items"))
+    model, tok = _model_bytes()
+    head = publish.publish_model(st, model, tok, chunk_size=len(model) // 2 + 1)
+    return st, head
+
+
+def test_backend_matches_oracle_golden(store):
+    st, head = store
+    gold, _txt = _golden_text()
+    be = LlamaBackend(store=st)
+    be.load(head)
+    ids = be.generated_ids("hello world", 8)
+    np.testing.assert_array_equal(ids, gold["generated"][0])
+
+
+def test_llama_through_process_eval(store):
+    """The flagship reference pattern: FHE + LLM in ONE deterministic
+    process, both driven from the same Eval chunk."""
+    st, head = store
+    gold, text = _golden_text()
+    p = Process(params=make_test_params(), model_store=st)
+    assert "llama.cpp" in _eval(p, "return Llama.info()")
+    _eval(p, f'Llama.load("{head}")')
+    _eval(p, 'Llama.setPrompt("hello world")')
+    got = _eval(p, "return Llama.run(8)")
+    assert got == text
+    # and TFHE still works in the same process / same globals
+    _eval(p, 'key = Tfhe.generateSecretKey("h.p", "")')
+    assert _eval(p, 'return Tfhe.decryptInteger('
+                    'Tfhe.encryptInteger(42, ""), "", "h.p", "")') == "42"
+
+
+def test_llama_next_add_incremental(store):
+    st, head = store
+    gold, text = _golden_text()
+    p = Process(params=make_test_params(), model_store=st)
+    _eval(p, f'Llama.load("{head}")')
+    # setPrompt + repeated next() token-by-token == run(n)
+    _eval(p, 'Llama.setPrompt("hello world")')
+    pieces = [_eval(p, "return Llama.next()") for _ in range(8)]
+    assert "".join(pieces) == text
+    # add() splices more prompt; stream continues deterministically
+    _eval(p, 'Llama.stop()')
+    _eval(p, 'Llama.setPrompt("hello")')
+    _eval(p, 'Llama.add(" world")')
+    got = _eval(p, "return Llama.run(8)")
+    # "hello" + " world" tokenizes differently from "hello world" (each
+    # add gets its own dummy-prefix space) — the check here is determinism
+    # of the incremental path, not equality with the one-shot prompt
+    p2 = Process(params=make_test_params(), model_store=st)
+    _eval(p2, f'Llama.load("{head}")')
+    _eval(p2, 'Llama.setPrompt("hello")')
+    _eval(p2, 'Llama.add(" world")')
+    assert _eval(p2, "return Llama.run(8)") == got
+
+
+def test_llama_via_virtualfs(tmp_path):
+    """Flat-item channel: model + <id>.tokenizer through the WeaveDrive
+    analog (io/virtualfs)."""
+    model, tok = _model_bytes()
+    (tmp_path / "m1").write_bytes(model)
+    (tmp_path / "m1.tokenizer").write_bytes(tok)
+    vfs = VirtualFS(LocalBackend(str(tmp_path)))
+    gold, text = _golden_text()
+    p = Process(params=make_test_params(), vfs=vfs)
+    _eval(p, 'Llama.load("m1")')
+    _eval(p, 'Llama.setPrompt("hello world")')
+    assert _eval(p, "return Llama.run(8)") == text
+
+
+def test_llama_error_surface():
+    """No backend configured: deterministic error through handle(), the
+    process survives (reference failure-mode parity, SURVEY.md §5)."""
+    p = Process(params=make_test_params())
+    r = json.loads(p.handle(json.dumps({
+        "Tags": [{"name": "Action", "value": "Eval"}],
+        "Data": 'Llama.load("nope")', "Block-Height": 100}), ENV))
+    assert r["Error"] is not None
+    # process still evaluates afterwards
+    assert _eval(p, "return 1 + 1") == "2"
+    be = LlamaBackend()
+    with pytest.raises(LlamaBackendError):
+        be.load("nope")
+    with pytest.raises(LlamaBackendError):
+        be.next()
+
+
+def test_llama_log_plumbing(store):
+    st, head = store
+    p = Process(params=make_test_params(), model_store=st)
+    _eval(p, f'Llama.load("{head}")')
+    # the shim's onLog stored the backend's info-level messages
+    n = _eval(p, 'return #Llama.log["info"]')
+    assert int(n) >= 1
+    # logLevel filters: below info nothing new lands
+    _eval(p, 'Llama.logLevel = 2')
+    _eval(p, f'Llama.load("{head}")')
+    assert _eval(p, 'return #Llama.log["info"]') == n

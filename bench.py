@@ -266,27 +266,33 @@ def main() -> None:
                 + (f"-rb{ctx.key_round_bits}" if ctx.key_round_bits else "-exact"))
     else:
         plan = limbs if form in ("fused", "chunked") else "exact"
-    # Optional serving-tier measurement (EOC_BENCH_SERVER=1): N concurrent
-    # single-gate submits through the batching GateServer — the production
-    # path small-request traffic takes (serving.py).
+    # Serving-tier measurement (default ON; EOC_BENCH_SERVER=0 disables): N
+    # concurrent single-gate submits through the batching GateServer — the
+    # production path small-request traffic takes (serving.py).  Requests
+    # upload in the SEEDED wire format (mask = PRNG seed, 12 B/operand —
+    # core/lwe.SeededLweCiphertext); the server re-derives masks on-device.
     server_stats = None
-    if os.environ.get("EOC_BENCH_SERVER"):
+    if os.environ.get("EOC_BENCH_SERVER", "1") not in ("0", "false"):
         from eoc_tfhe_tpu.serving import GateServer
-        import jax.tree_util  # noqa: F401
+        from eoc_tfhe_tpu.core.lwe import SeededLweCiphertext
         Ns = int(os.environ.get("EOC_BENCH_SERVER_N", "2048"))
-        cas = gates.encrypt_bit(jax.random.key(7), jnp.asarray(a[:Ns]),
-                                keyset.lwe_key, params)
-        cbs = gates.encrypt_bit(jax.random.key(8), jnp.asarray(b[:Ns]),
-                                keyset.lwe_key, params)
+        cas = gates.encrypt_bit_seeded(jax.random.key(7), jnp.asarray(a[:Ns]),
+                                       keyset.lwe_key, params)
+        cbs = gates.encrypt_bit_seeded(jax.random.key(8), jnp.asarray(b[:Ns]),
+                                       keyset.lwe_key, params)
         # client-side ciphertexts live on the host (numpy rows): one
         # device transfer happens at batch-stack time, not per request
         def rows(ct):
-            an, bn, vn = (np.asarray(ct.a), np.asarray(ct.b),
+            an, bn, vn = (np.asarray(ct.seed), np.asarray(ct.b),
                           np.asarray(ct.current_variance))
-            return [LweCiphertext(a=an[i], b=bn[i], current_variance=vn[i])
+            return [SeededLweCiphertext(seed=an[i], b=bn[i],
+                                        current_variance=vn[i])
                     for i in range(Ns)]
         singles = list(zip(rows(cas), rows(cbs)))
-        with GateServer(ek, params, max_batch=Ns, max_delay_s=0.5) as srv:
+        # max_delay_s > wave duration: the timed wave must land as ONE
+        # flush (the explicit flush() drives execution) so the chunk
+        # pipeline runs without a mid-wave restart.
+        with GateServer(ek, params, max_batch=Ns, max_delay_s=5.0) as srv:
             # wave 1: pays the per-bucket-shape compiles
             futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
             srv.flush()

@@ -48,6 +48,19 @@ def encrypt_bit(key: jax.Array, bits: jax.Array, sk_lwe: LweKey,
     return lwe_sym_encrypt(key, mu, alpha, sk_lwe)
 
 
+def encrypt_bit_seeded(key: jax.Array, bits: jax.Array, sk_lwe: LweKey,
+                       params: GateBootstrappingParams,
+                       alpha: float | None = None):
+    """``bootsSymEncrypt`` emitting seeded (mask-compressed) ciphertexts —
+    the serving tier's upload format (core/lwe.SeededLweCiphertext)."""
+    from .lwe import lwe_sym_encrypt_seeded
+    if alpha is None:
+        alpha = params.in_out_params.alpha_min
+    mu = jnp.where(jnp.asarray(bits).astype(jnp.bool_), jnp.int32(MU_BOOL),
+                   jnp.int32(-MU_BOOL))
+    return lwe_sym_encrypt_seeded(key, mu, alpha, sk_lwe)
+
+
 def decrypt_bit(ct: LweCiphertext, sk_lwe: LweKey) -> np.ndarray:
     """``bootsSymDecrypt``: sign of the phase."""
     phase = np.asarray(lwe_phase(ct, sk_lwe))

@@ -82,6 +82,73 @@ def lwe_sym_encrypt(key: jax.Array, message: jax.Array, alpha: float, lwe_key: L
     return LweCiphertext(a=a, b=b.astype(jnp.int32), current_variance=var)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SeededLweCiphertext:
+    """LWE sample with the public mask ``a`` stored as its PRNG seed.
+
+    The mask of an LWE encryption is public uniform randomness; shipping the
+    32-byte-equivalent threefry key data instead of the n*4-byte vector is
+    the standard TFHE "seeded/compressed ciphertext" trick (the reference
+    has no wire-compression tier — its per-sample base64 blobs carry the
+    full ``a``, ``eoc-tfhe-run.cpp:294`` — but its unseeded-lrand48 keygen
+    relies on exactly the same replayable-PRNG property, SURVEY.md §5).
+    ``expand`` reconstructs bit-identical ciphertexts on any backend
+    (threefry is backend-independent).  Motivation here: the serving tier's
+    client->server upload shrinks from 2,524 B to 12 B per request
+    (serving.py; the relay link is the measured bottleneck, ROOFLINE.md).
+    """
+
+    seed: jax.Array  # (..., 2) uint32 threefry key data for the mask PRNG
+    b: jax.Array     # (...)    int32
+    current_variance: jax.Array  # (...) float32
+
+    @property
+    def batch_shape(self):
+        return self.b.shape
+
+
+def _expand_mask(seed_data: jax.Array, n: int) -> jax.Array:
+    """(..., 2) uint32 key data -> (..., n) int32 masks (vmapped threefry)."""
+    flat = seed_data.reshape((-1, 2))
+
+    def one(kd):
+        return uniform_torus32(jax.random.wrap_key_data(kd), (n,))
+
+    a = jax.vmap(one)(flat)
+    return a.reshape(seed_data.shape[:-1] + (n,))
+
+
+def lwe_sym_encrypt_seeded(key: jax.Array, message: jax.Array, alpha: float,
+                           lwe_key: LweKey) -> SeededLweCiphertext:
+    """``lweSymEncrypt`` emitting a seeded ciphertext.
+
+    Each batch element gets its own mask seed (derived by ``jax.random.split``)
+    so rows are independently shippable; ``lwe_seeded_expand`` of the result
+    decrypts identically to :func:`lwe_sym_encrypt` output at the same noise
+    level.
+    """
+    message = jnp.asarray(message, jnp.int32)
+    shape = message.shape
+    B = int(np.prod(shape)) if shape else 1
+    k_a, k_e = jax.random.split(key)
+    seeds = jax.random.key_data(jax.random.split(k_a, B))       # (B, 2)
+    a = _expand_mask(seeds, lwe_key.n).reshape(shape + (lwe_key.n,))
+    noisy_mu = gaussian32(message, alpha, k_e, shape)
+    b = noisy_mu + jnp.einsum("...n,n->...", a, lwe_key.s,
+                              preferred_element_type=jnp.int32).astype(jnp.int32)
+    var = jnp.full(shape, np.float32(alpha) ** 2, jnp.float32)
+    return SeededLweCiphertext(seed=seeds.reshape(shape + (2,)),
+                               b=b.astype(jnp.int32), current_variance=var)
+
+
+def lwe_seeded_expand(ct: SeededLweCiphertext, n: int) -> LweCiphertext:
+    """Reconstruct the full ciphertext from a seeded one (jit-safe; runs
+    on-device so a server never receives the expanded mask over the wire)."""
+    return LweCiphertext(a=_expand_mask(ct.seed, n), b=ct.b,
+                         current_variance=ct.current_variance)
+
+
 def lwe_phase(ct: LweCiphertext, lwe_key: LweKey) -> jax.Array:
     """``lwePhase``: b - <a, s> (exact int32 wraparound)."""
     dot = jnp.einsum("...n,n->...", ct.a, lwe_key.s,

@@ -68,6 +68,44 @@ def test_mixed_kinds_and_delay_flush(setup):
     assert bool(gates.decrypt_bit(r2, ks.lwe_key)) == (a[1] & b[1])
 
 
+def test_seeded_requests_match_plain(setup):
+    """Seeded (mask-compressed) uploads decrypt to the same gate outputs as
+    plain ones, and expansion reproduces the encryption-time mask exactly."""
+    from eoc_tfhe_tpu.core.lwe import SeededLweCiphertext, lwe_seeded_expand
+    ks, ek = setup
+    rng = np.random.default_rng(7)
+    n_req = 6
+    a = rng.integers(0, 2, n_req).astype(bool)
+    b = rng.integers(0, 2, n_req).astype(bool)
+    sca = gates.encrypt_bit_seeded(jax.random.key(11), jnp.asarray(a),
+                                   ks.lwe_key, P)
+    scb = gates.encrypt_bit_seeded(jax.random.key(12), jnp.asarray(b),
+                                   ks.lwe_key, P)
+    # expansion is bit-exact and decrypts correctly (the seed IS the mask)
+    exp = lwe_seeded_expand(sca, P.n)
+    np.testing.assert_array_equal(np.asarray(gates.decrypt_bit(exp, ks.lwe_key)), a)
+
+    def row(ct, i):
+        return SeededLweCiphertext(
+            seed=np.asarray(ct.seed)[i], b=np.asarray(ct.b)[i],
+            current_variance=np.asarray(ct.current_variance)[i])
+
+    with GateServer(ek, P, max_batch=8, max_delay_s=0.2,
+                    pipeline_chunk=4) as srv:   # exercise >1 chunk
+        futs = [srv.submit("nand", row(sca, i), row(scb, i))
+                for i in range(n_req)]
+        srv.flush()
+        outs = [f.result(timeout=120) for f in futs]
+    got = np.asarray([bool(gates.decrypt_bit(o, ks.lwe_key)) for o in outs])
+    np.testing.assert_array_equal(got, ~(a & b))
+    # mixed representations in one submit are rejected
+    ca = _enc(ks, a, 13)
+    srv2 = GateServer(ek, P)
+    with pytest.raises(ValueError, match="seeded"):
+        srv2.submit("nand", row(sca, 0), jax.tree.map(lambda x: x[0], ca))
+    srv2.stop()
+
+
 def test_errors_and_validation(setup):
     ks, ek = setup
     ca = _enc(ks, np.array([1], bool), 6)

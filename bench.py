@@ -143,6 +143,21 @@ def main() -> None:
         times.append(time.time() - t0)
     dt = min(times)
     np.asarray(out[1])   # final host transfer (correctness check input)
+    # Guard (r5): block_until_ready has been observed returning WITHOUT
+    # waiting for tiny programs through the relay; for this batch size it is
+    # reliable (times match the kernel's stage accounting), but if a timing
+    # ever lands below the measured per-gate dataflow floor (~0.15 ms,
+    # ROOFLINE.md), re-measure with a forced per-iteration fetch.
+    if dt / B < 0.10e-3:
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = nand_step(ca, cb, ek)
+            np.asarray(out[1])
+            times.append(time.time() - t0)
+        dt = min(times)
+        print("# re-timed with forced fetch (block_until_ready returned "
+              "early)", file=sys.stderr)
     bootstraps_per_sec = B / dt
 
     # Correctness spot check while we're here.
@@ -154,22 +169,38 @@ def main() -> None:
     print(f"# batch={B} per-gate={dt / B * 1e3:.3f}ms correct={ok}", file=sys.stderr)
 
     # Single-gate latency (VERDICT r2 item 7): a B=1 NAND call, end to end
-    # (the kernel pads the lane tile internally; this is the latency cliff a
-    # one-gate caller actually pays, dispatch overhead included).
+    # INCLUDING the host fetch of the result.  Methodology note (r5):
+    # block_until_ready does not reliably wait for tiny computations through
+    # the axon relay (the same B=1 program timed 0.2 ms vs 37 ms across
+    # processes), so the honest measurement forces a D2H fetch per call —
+    # which is also what a one-gate caller actually does with the result.
+    # The relay round-trip floor (trivial jit + fetch) is measured and
+    # reported alongside: B=1 latency = relay RTT + ~15 ms compute, so the
+    # metric is relay-bound here (ROOFLINE.md "B=1 floor").
     b1_ms = None
+    rtt_ms = None
     if not os.environ.get("EOC_BENCH_NO_B1"):
         ca1 = gates.encrypt_bit(jax.random.key(5), jnp.asarray(a[:1]),
                                 keyset.lwe_key, params)
         cb1 = gates.encrypt_bit(jax.random.key(6), jnp.asarray(b[:1]),
                                 keyset.lwe_key, params)
+        triv = jax.jit(lambda x: x + 1)
+        np.asarray(triv(ca1.b))
+        t0s = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(triv(ca1.b))
+            t0s.append(time.time() - t0)
+        rtt_ms = round(min(t0s) * 1e3, 2)
         np.asarray(nand_step(ca1, cb1, ek)[1])       # compile+warm
         t1s = []
         for _ in range(5):
             t0 = time.time()
-            jax.block_until_ready(nand_step(ca1, cb1, ek))
+            np.asarray(nand_step(ca1, cb1, ek)[1])
             t1s.append(time.time() - t0)
         b1_ms = round(min(t1s) * 1e3, 2)
-        print(f"# B=1 NAND latency: {b1_ms} ms", file=sys.stderr)
+        print(f"# B=1 NAND latency: {b1_ms} ms end-to-end "
+              f"(relay RTT floor {rtt_ms} ms)", file=sys.stderr)
 
     # Optional scaling mode: EOC_BENCH_MESH="dpxtp" (e.g. "4x2") runs the
     # sharded NAND over a device mesh and reports scaling efficiency
@@ -321,6 +352,7 @@ def main() -> None:
            "compile_s": round(compile_s, 1)}
     if b1_ms is not None:
         cfg["b1_latency_ms"] = b1_ms
+        cfg["relay_rtt_ms"] = rtt_ms
     if server_stats:
         cfg["server"] = server_stats
     if scaling:

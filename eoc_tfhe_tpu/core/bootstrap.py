@@ -210,20 +210,13 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     """
     from ..ops import ntt, pallas_ntt_blindrot2
     ek = prepare_eval_key(cloud)
-    explicit_kernel = kernel is True
     if kernel == "auto":
         kernel = jax.default_backend() == "tpu"
-    # The fused kernel feeds gadget digits to the MXU as single int8 values —
-    # valid only for |digit| <= halfBg <= 128 (the 128-bit set's Bg=2^7).
-    # The 80-bit set (Bg=2^10, halfBg=512) needs the 2-limb digit split that
-    # only the XLA-scan path implements (ops/ntt.mod_matmul xmax>127), so
-    # fall back there rather than silently truncating (round-4 finding: the
-    # kernel path decrypted WRONG at 80-bit).
-    if kernel and params.tgsw_params.halfBg > 128:
-        if explicit_kernel:
-            raise ValueError(
-                f"fused kernel requires halfBg <= 128 (got "
-                f"{params.tgsw_params.halfBg}); use kernel='auto' or False")
+    # Digit magnitude: the kernel handles |digit| <= 128 as single int8
+    # values and larger bases (80-bit set: Bg=2^10, halfBg=512) via its
+    # 2-limb digit split (r5 — previously only the XLA-scan path could;
+    # the r4 lockout is gone).  The split domain caps at 32639.
+    if kernel and params.tgsw_params.halfBg > 32639:
         kernel = False
     if small_batch == "auto":
         small_batch = bool(kernel) and jax.default_backend() == "tpu"

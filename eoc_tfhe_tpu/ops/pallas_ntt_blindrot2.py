@@ -263,10 +263,14 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     R, L = ctx.R, ctx.key_limbs
     S = R
     tg = params.tgsw_params
-    # gadget digits are fed to the MXU as single int8 values; larger bases
-    # (80-bit set: Bg=2^10) must use the scan path's 2-limb digit split
-    assert tg.halfBg <= 128, (
-        f"fused kernel requires halfBg <= 128, got {tg.halfBg}")
+    # Gadget digits feed the MXU as int8: one value when |digit| <= halfBg
+    # <= 128 (128-bit set, Bg=2^7), else a 2-limb split (dl=2 — the 80-bit
+    # set's Bg=2^10, halfBg=512; r4 VERDICT item 5): the digit tensor
+    # doubles to [d_lo(K); d_hi(K)] rows and the forward-NTT combine gains a
+    # 256-weighted hi-block term (overflow audit at the combine site).
+    dl = 1 if tg.halfBg <= 128 else 2
+    assert tg.halfBg <= 32639, (
+        f"digit magnitude {tg.halfBg} exceeds the 2-limb int8 split domain")
     J, tgl = tg.kpl, tg.l
     M = L * U * R
     US = U * S
@@ -382,7 +386,16 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                 dig = ((du[:, u] >> jnp.uint32(32 - (li + 1) * tg.Bgbit))
                        & jnp.uint32(tg.maskMod)).astype(_I32) - jnp.int32(tg.halfBg)
                 pieces.append(dig)                  # (F, S, Bt)
-        x8 = jnp.concatenate(pieces, axis=1).astype(_I8)   # (F, K, Bt)
+        digits = jnp.concatenate(pieces, axis=1)    # (F, K, Bt) int32
+        if dl == 2:
+            # 2-limb digit split (halfBg > 128): rows [d_lo(K); d_hi(K)],
+            # d = d_lo + 256*d_hi with d_lo in [-128,127], |d_hi| <=
+            # (halfBg+128)/256 (<= 3 at Bg=2^10).  Same 4-op split as the
+            # residue transients.
+            d_lo, d_hi = _split8(digits)
+            x8 = jnp.concatenate([d_lo, d_hi], axis=1)     # (F, 2K, Bt)
+        else:
+            x8 = digits.astype(_I8)                 # (F, K, Bt)
 
         # ---- both primes batched: fwd NTT -> pointwise -> inverse ----
         # One op per stage for BOTH primes (prime axis leading, reductions
@@ -418,8 +431,19 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             q = jax.lax.dot_general(
                 wf_ref[:].reshape(P * 2 * F, F), x8,
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=_I32).reshape(P, 2 * F, K, Bt)
-            dhat = balv(q[:, :F] + (q[:, F:] << 8), strict=False)
+                preferred_element_type=_I32).reshape(P, 2 * F, dl * K, Bt)
+            if dl == 2:
+                # NTT(d) = NTT(d_lo) + 256*NTT(d_hi) (linearity).  Audits:
+                # lo block |q| <= F*128*128 = 2^21, raw combine <= 513*2^21
+                # = 2^30.0 < 2^30.5 (balv domain); hi block |q| <= F*128*
+                # ceil(halfBg/256+1) = 2^15.6 (Bg=2^10), its lazy residue
+                # <= p/2+92, so the outer raw sum <= 2^30.0 + 32348*256 =
+                # 2^30.1 — still in-domain.  One extra balv on (F, K) rows.
+                dB = balv(q[:, :F, K:] + (q[:, F:, K:] << 8), strict=False)
+                dhat = balv(q[:, :F, :K] + (q[:, F:, :K] << 8) + (dB << 8),
+                            strict=False)
+            else:
+                dhat = balv(q[:, :F] + (q[:, F:] << 8), strict=False)
             if i16:
                 # lazy residues |r| <= p/2+92 <= 32348 fit int16; halves the
                 # VMEM traffic of the transient if Mosaic materializes it
@@ -518,10 +542,16 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
             p = primes[pi]
             q = jax.lax.dot_general(
                 wf_ref[pi], x8, (((1,), (0,)), ((), ())),
-                preferred_element_type=_I32)        # (2F, K, Bt)
+                preferred_element_type=_I32)        # (2F, dl*K, Bt)
+            if dl == 2:   # digit-limb combine (same audit as batched path)
+                dB = _bal(q[:F, K:] + (q[F:, K:] << 8), p, strict=False)
+                q = q[:, :K]
+                dhat = _bal(q[:F] + (q[F:] << 8) + (dB << 8), p)
+            else:
+                dhat = _bal(q[:F] + (q[F:] << 8), p)
             # int16 narrowing: strict-balanced residues fit int16; halves the
             # VMEM traffic of the transient (the kernel is traffic-bound).
-            dhat = _bal(q[:F] + (q[F:] << 8), p).astype(jnp.int16)
+            dhat = dhat.astype(jnp.int16)
             lo, hi = _split8(dhat)
             d8 = jnp.concatenate([lo, hi], axis=2)  # (F, K, 2Bt)
 

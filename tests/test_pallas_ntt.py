@@ -212,24 +212,45 @@ def test_small_batch_cutover(keyset):
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
 
 
-def test_wide_gadget_base_falls_back_to_scan():
-    """80-bit-style parameters (Bg=2^10: digits exceed int8) must never take
-    the fused kernel path — round-4 finding: the kernel silently truncated
-    the digits and decrypted WRONG at the 80-bit set on TPU."""
+def test_wide_gadget_base_kernel_digit_split():
+    """80-bit-style parameters (Bg=2^10: |digit| <= 512 exceeds int8) run
+    the fused kernel via its 2-limb digit split (r5; the r4 kernel silently
+    truncated these digits and decrypted WRONG, then was locked out).
+    Kernel and scan paths must agree BIT-EXACTLY on the accumulator and the
+    gate output despite using different prime plans (both exact mod 2^32)."""
+    from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as p2
     p = params_mod.test_params(n=8, N=64, k=1, l=2, Bgbit=10)
+    assert p.tgsw_params.halfBg == 512
     ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(1), p)
-    with pytest.raises(ValueError, match="halfBg"):
-        bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel=True)
-    ek = bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel="auto")
-    assert ek.form == "ntt_scan" and ek.bk_ntt_kernel is None
+    ek_k = bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel=True)
+    assert ek_k.form == "ntt_kernel" and ek_k.bk_ntt_kernel is not None
+    ek_s = bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel=False)
+
+    tl = p.tgsw_params.tlwe_params
     r = np.random.default_rng(3)
-    a = jnp.asarray(r.integers(0, 2, 8).astype(bool))
-    b = jnp.asarray(r.integers(0, 2, 8).astype(bool))
+    B = 8
+    acc0 = jnp.asarray(r.integers(-2**31, 2**31, (B, tl.k + 1, tl.N),
+                                  dtype=np.int64).astype(np.int32))
+    bara = jnp.asarray(r.integers(0, 2 * tl.N, (p.n, B), dtype=np.int64)
+                       .astype(np.int32))
+    ref = np.asarray(ntt.blind_rotate_ntt(acc0, bara, ek_s.bk_ntt, p,
+                                          ek_s.ntt_ctx))
+    out = np.asarray(p2.blind_rotate_ntt_pallas2(
+        acc0, bara, ek_k.bk_ntt_kernel, ek_k.ntt_ctx, p, block_b=B,
+        interpret=True, expanded=False))
+    np.testing.assert_array_equal(ref, out)
+
+    # gate level through the kernel path decrypts correctly
+    a = jnp.asarray(r.integers(0, 2, B).astype(bool))
+    b = jnp.asarray(r.integers(0, 2, B).astype(bool))
     ca = gates.encrypt_bit(jax.random.key(2), a, ks.lwe_key, p)
     cb = gates.encrypt_bit(jax.random.key(3), b, ks.lwe_key, p)
-    out = gates.nand(ca, cb, ek, p)
+    out_k = gates.nand(ca, cb, ek_k, p)
+    out_s = gates.nand(ca, cb, ek_s, p)
+    np.testing.assert_array_equal(np.asarray(out_k.a), np.asarray(out_s.a))
+    np.testing.assert_array_equal(np.asarray(out_k.b), np.asarray(out_s.b))
     np.testing.assert_array_equal(
-        np.asarray(gates.decrypt_bit(out, ks.lwe_key)),
+        np.asarray(gates.decrypt_bit(out_k, ks.lwe_key)),
         ~(np.asarray(a) & np.asarray(b)))
 
 

@@ -411,39 +411,11 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
 
     out = tlwe_extract_lwe_sample(
         TLweCiphertext(a=acc, current_variance=jnp.zeros(ct.b.shape, jnp.float32)))
+    var = blind_rotate_output_variance(
+        params, ek.bk_variance,
+        key_round_bits=(ek.ntt_ctx.key_round_bits
+                        if ek.ntt_ctx is not None else 0))
     tg = params.tgsw_params
-    # Blind-rotate noise recurrence, calibrated against measured phase error
-    # (tests/test_noise.py; derivation in scripts/probes/README + the round-3
-    # noise study).  Per CMux step:
-    #   * bk-noise term: kpl*N*E[d^2]*Var_bk, E[d^2] = Bg^2/12 (uniform
-    #     digits).  Our NTT path is exact mod 2^32, so there is NO FFT
-    #     rounding term (the reference's f64 FFT adds one).
-    #   * decomposition term: the offset-trick reconstruction error is
-    #     uniform in (-2^(32-l*Bgbit), 0] — floor-like, mean -eps_mean with
-    #     eps_mean = 2^-(l*Bgbit+1).  The per-coefficient bias is IDENTICAL
-    #     across coefficients, so its phase contribution sums coherently to
-    #     ~(1 + k*N*E[s]) * eps_mean within a step (and decoheres across
-    #     steps through the rotations), dominating the incoherent part.
-    #     Only steps with s_i = 1 contribute (E[s] = 1/2).
-    eps_mean = 2.0 ** -(tg.l * tg.Bgbit + 1)
-    eps_u2 = 2.0 ** (-2 * tg.l * tg.Bgbit) / 12.0
-    kN2 = 1.0 + tl.k * N / 2.0
-    dec_step = 0.5 * (kN2 * eps_mean) ** 2 + kN2 * eps_u2
-    d2 = (2.0 * tg.halfBg) ** 2 / 12.0
-    step_var = (jnp.float32(tg.kpl * N * d2) * ek.bk_variance
-                + jnp.float32(dec_step))
-    var = jnp.float32(params.n) * step_var
-    if ek.ntt_ctx is not None and ek.ntt_ctx.key_round_bits:
-        # v4 rounded-key plan: the key is rounded to its top 32-rb bits
-        # before the NTT limb split (ops/ntt.round_key) — the error is
-        # uniform in +-2^(rb-1) int32 units per key coefficient, fixed per
-        # key, convolved with the gadget digits over the n steps.  Same
-        # worst-case digit convention (halfBg^2) as the compact-form term
-        # below; the reference's analog is its f64 FFT rounding.
-        rb = ek.ntt_ctx.key_round_bits
-        round_var = (params.n * tg.kpl * N * float(tg.halfBg ** 2)
-                     * (float(1 << (2 * rb)) / 12.0) / float(2 ** 64))
-        var = var + jnp.float32(round_var)
     if ek.bk_compact is not None and ek.bk_ntt is None:
         # Fast rounded-key form: account the key-rounding error (uniform in
         # [-2^(8*drop-1), 2^(8*drop-1)) per coefficient, convolved with the
@@ -463,6 +435,52 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
             var = var + jnp.float32(round_var)
     var = jnp.broadcast_to(var, ct.b.shape)
     return LweCiphertext(a=out.a, b=out.b, current_variance=var)
+
+
+def blind_rotate_output_variance(params: GateBootstrappingParams,
+                                 bk_variance, key_round_bits: int = 0):
+    """Device-side output phase variance of a blind rotation (scalar f32).
+
+    The noise recurrence, calibrated against measured phase error
+    (tests/test_noise.py; derivation in scripts/probes/README + the round-3
+    noise study).  Per CMux step:
+      * bk-noise term: kpl*N*E[d^2]*Var_bk, E[d^2] = Bg^2/12 (uniform
+        digits).  The NTT path is exact mod 2^32, so there is NO FFT
+        rounding term (the reference's f64 FFT adds one).
+      * decomposition term: the offset-trick reconstruction error is
+        uniform in (-2^(32-l*Bgbit), 0] — floor-like, mean -eps_mean with
+        eps_mean = 2^-(l*Bgbit+1).  The per-coefficient bias is IDENTICAL
+        across coefficients, so its phase contribution sums coherently to
+        ~(1 + k*N*E[s]) * eps_mean within a step (and decoheres across
+        steps through the rotations), dominating the incoherent part.
+        Only steps with s_i = 1 contribute (E[s] = 1/2).
+      * ``key_round_bits > 0`` (v4 rounded-key plan): the key is rounded to
+        its top 32-rb bits before the NTT limb split (ops/ntt.round_key) —
+        error uniform in +-2^(rb-1) int32 units per key coefficient, fixed
+        per key, convolved with the gadget digits over the n steps; worst-
+        case digit convention (halfBg^2).  The reference's analog is its
+        f64 FFT rounding.
+
+    Shared by :func:`bootstrap_woKS` and the sharded gate paths
+    (parallel/sharded.py) so the variance rail cannot drift between them.
+    """
+    tg = params.tgsw_params
+    tl = tg.tlwe_params
+    N = tl.N
+    eps_mean = 2.0 ** -(tg.l * tg.Bgbit + 1)
+    eps_u2 = 2.0 ** (-2 * tg.l * tg.Bgbit) / 12.0
+    kN2 = 1.0 + tl.k * N / 2.0
+    dec_step = 0.5 * (kN2 * eps_mean) ** 2 + kN2 * eps_u2
+    d2 = (2.0 * tg.halfBg) ** 2 / 12.0
+    step_var = (jnp.float32(tg.kpl * N * d2) * bk_variance
+                + jnp.float32(dec_step))
+    var = jnp.float32(params.n) * step_var
+    if key_round_bits:
+        round_var = (params.n * tg.kpl * N * float(tg.halfBg ** 2)
+                     * (float(1 << (2 * key_round_bits)) / 12.0)
+                     / float(2 ** 64))
+        var = var + jnp.float32(round_var)
+    return var
 
 
 def predicted_bootstrap_variance(params: GateBootstrappingParams,

@@ -251,6 +251,49 @@ def _extprod_freq_step(digits, T8_l, ctx, axis: str):
     return jnp.stack(chats)                               # (P, L, F_loc, B, M)
 
 
+def _freq_local_rotate(acc0_l, bara_l, T8_l, ctx,
+                       params: GateBootstrappingParams,
+                       rotation_impl: str = "auto", axis: str = "tp"):
+    """Per-device body of the frequency-split blind rotation (runs INSIDE
+    shard_map; reused by :func:`blind_rotate_ntt_freq_tp` and the gate-level
+    path :func:`make_sharded_gate_freq`)."""
+    from ..core.tgsw import decompose_h
+    from ..ops import ntt as ntt_mod
+    from ..ops import rotate
+    tg = params.tgsw_params
+    ntp = jax.lax.axis_size(axis)
+    R, F, L = ctx.R, ctx.F, ctx.key_limbs
+    assert F % ntp == 0, (F, ntp)
+    B = acc0_l.shape[0]
+    U = acc0_l.shape[1]
+    UR = U * R
+    assert UR % ntp == 0, (UR, ntp)
+
+    def step(acc, xs):
+        T8_step_l, bara_i = xs
+        d = rotate.mul_by_xai(acc, bara_i[:, None], impl=rotation_impl) - acc
+        digits = decompose_h(d.astype(jnp.int32), tg)        # (B, J, N)
+        chat = _extprod_freq_step(digits, T8_step_l, ctx, axis)
+        # all_to_all: frequency-sharded -> output-column-sharded
+        chat_x = jax.lax.all_to_all(chat, axis, split_axis=4,
+                                    concat_axis=2, tiled=True)
+        # (P, L, F, B, UR_loc) -> inverse NTT over full F, local columns
+        chat2 = jnp.transpose(chat_x, (0, 1, 3, 4, 2))       # (P,L,B,url,F)
+        vl = [ntt_mod.ntt_inverse_prime(chat2[pi], ctx, pi)
+              for pi in range(len(ctx.primes))]
+        V = ntt_mod.crt_pair(jnp.stack(vl), ctx)             # (L,B,url,F)
+        out_l = jnp.zeros(V.shape[1:], jnp.int32)
+        for li in range(L):
+            sh = ctx.key_round_bits + ctx.key_limb_bits * li
+            out_l = (out_l + (V[li] << jnp.int32(sh))).astype(jnp.int32)
+        upd = jax.lax.all_gather(out_l, axis, axis=1, tiled=True)
+        upd = ntt_mod.from_subpolys(upd.reshape(B, U, R, F))
+        return (acc + upd).astype(jnp.int32), None
+
+    acc, _ = jax.lax.scan(step, acc0_l, (T8_l, bara_l))
+    return acc
+
+
 def blind_rotate_ntt_freq_tp(acc0: jax.Array, bara: jax.Array, T8_sharded,
                              params: GateBootstrappingParams, ctx, mesh: Mesh,
                              rotation_impl: str = "auto",
@@ -263,52 +306,103 @@ def blind_rotate_ntt_freq_tp(acc0: jax.Array, bara: jax.Array, T8_sharded,
       T8_sharded: NttKey T8 (n, P, L, 2, F, J*R, U*R) placed with the F axis
       sharded over tp (see :func:`shard_ntt_key_freq`).
     """
-    from ..core.tgsw import decompose_h
-    from ..ops import ntt as ntt_mod
-    from ..ops import rotate
-    tg = params.tgsw_params
-    ntp = mesh.shape[axis]
-    R, F, L = ctx.R, ctx.F, ctx.key_limbs
-    assert F % ntp == 0, (F, ntp)
-
-    def local_rotate(acc0_l, bara_l, T8_l):
-        B = acc0_l.shape[0]
-        U = acc0_l.shape[1]
-        UR = U * R
-        assert UR % ntp == 0, (UR, ntp)
-
-        def step(acc, xs):
-            T8_step_l, bara_i = xs
-            d = rotate.mul_by_xai(acc, bara_i[:, None], impl=rotation_impl) - acc
-            digits = decompose_h(d.astype(jnp.int32), tg)        # (B, J, N)
-            chat = _extprod_freq_step(digits, T8_step_l, ctx, axis)
-            # all_to_all: frequency-sharded -> output-column-sharded
-            chat_x = jax.lax.all_to_all(chat, axis, split_axis=4,
-                                        concat_axis=2, tiled=True)
-            # (P, L, F, B, UR_loc) -> inverse NTT over full F, local columns
-            chat2 = jnp.transpose(chat_x, (0, 1, 3, 4, 2))       # (P,L,B,url,F)
-            vl = [ntt_mod.ntt_inverse_prime(chat2[pi], ctx, pi)
-                  for pi in range(len(ctx.primes))]
-            V = ntt_mod.crt_pair(jnp.stack(vl), ctx)             # (L,B,url,F)
-            out_l = jnp.zeros(V.shape[1:], jnp.int32)
-            for li in range(L):
-                sh = ctx.key_round_bits + ctx.key_limb_bits * li
-                out_l = (out_l + (V[li] << jnp.int32(sh))).astype(jnp.int32)
-            upd = jax.lax.all_gather(out_l, axis, axis=1, tiled=True)
-            upd = ntt_mod.from_subpolys(upd.reshape(B, U, R, F))
-            return (acc + upd).astype(jnp.int32), None
-
-        acc, _ = jax.lax.scan(step, acc0_l, (T8_l, bara_l))
-        return acc
-
     smapped = shard_map(
-        local_rotate, mesh=mesh,
+        partial(_freq_local_rotate, ctx=ctx, params=params,
+                rotation_impl=rotation_impl, axis=axis),
+        mesh=mesh,
         in_specs=(P("dp"), P(None, "dp"),
                   P(None, None, None, None, "tp", None, None)),
         out_specs=P("dp"),
         check_vma=False,
     )
     return smapped(acc0, bara, T8_sharded)
+
+
+def make_sharded_gate_freq(mesh: Mesh, params: GateBootstrappingParams,
+                           offset_t32: int, sa: int, sb: int, ctx,
+                           rotation_impl: str = "auto"):
+    """Gate-level frequency-split path (r4 VERDICT item 7): a jitted
+    two-input bootstrapped gate whose blind rotation runs the all_to_all
+    frequency split — the small-batch latency mode (each device holds 1/tp
+    of the key and 1/tp of the spectrum work; collectives move ~2/tp of the
+    row-psum bytes).
+
+    Returns fn(ca_a, ca_b, ca_var, cb_a, cb_b, cb_var, T8_freq, bk_var,
+    ks_prepared, ks_var) -> (a, b, var):
+
+      * batch sharded over dp, spectrum over tp (``shard_ntt_key_freq``);
+      * keyswitch contraction rows tp-sharded + psum (``_keyswitch_tp``);
+      * bit-identical outputs and variance rail vs the unsharded gate
+        (tests/test_sharding.py; decrypt-checked in ``dryrun_multichip``).
+    """
+    from ..core.numeric import mod_switch_from_torus32
+    from ..core.tlwe import tlwe_noiseless_trivial, tlwe_extract_lwe_sample, \
+        TLweCiphertext
+    from ..core.bootstrap import blind_rotate_output_variance
+    from ..ops import rotate
+    n_in = params.N * params.k
+    gates.check_noise_budget(params, sa, sb)
+    tl = params.tgsw_params.tlwe_params
+    N, k, Nx2 = tl.N, tl.k, 2 * tl.N
+    mu = gates._1S8
+
+    def step(ca_a, ca_b, ca_var, cb_a, cb_b, cb_var, T8_l, bk_var,
+             ks_prepared, ks_var):
+        ca = LweCiphertext(a=ca_a, b=ca_b, current_variance=ca_var)
+        cb = LweCiphertext(a=cb_a, b=cb_b, current_variance=cb_var)
+        temp = lwe_noiseless_trivial(
+            jnp.broadcast_to(jnp.int32(offset_t32), ca.b.shape), ca.n)
+        temp = lwe_add_mul(temp, sa, ca)
+        temp = lwe_add_mul(temp, sb, cb)
+        # bootstrap_woKS front half (modswitch + testvector), local dp rows
+        barb = mod_switch_from_torus32(temp.b, Nx2)
+        bara = mod_switch_from_torus32(temp.a, Nx2)          # (B_l, n)
+        testvect = jnp.broadcast_to(jnp.int32(mu),
+                                    temp.b.shape + (N,)).astype(jnp.int32)
+        rot = rotate.mul_by_xai(testvect, (Nx2 - barb) % Nx2,
+                                impl=rotation_impl)
+        acc0 = tlwe_noiseless_trivial(rot, k).a              # (B_l, k+1, N)
+        acc = _freq_local_rotate(acc0, jnp.moveaxis(bara, -1, 0), T8_l,
+                                 ctx, params, rotation_impl)
+        u = tlwe_extract_lwe_sample(TLweCiphertext(
+            a=acc, current_variance=jnp.zeros(temp.b.shape, jnp.float32)))
+        var = jnp.broadcast_to(
+            blind_rotate_output_variance(params, bk_var,
+                                         ctx.key_round_bits),
+            temp.b.shape)
+        u = LweCiphertext(a=u.a, b=u.b, current_variance=var)
+        out = _keyswitch_tp(u, ks_prepared, ks_var, params.ks.t,
+                            params.ks.basebit, n_in)
+        return out.a, out.b, out.current_variance
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"),
+                  P("dp"), P("dp"), P("dp"),
+                  P(None, None, None, None, "tp", None, None),  # T8 F-split
+                  P(),
+                  P("tp"),                                      # ks rows
+                  P()),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def gate_fn(ca_a, ca_b, ca_var, cb_a, cb_b, cb_var, T8_freq, bk_var,
+                ks_prepared, ks_var):
+        return smapped(ca_a, ca_b, ca_var, cb_a, cb_b, cb_var, T8_freq,
+                       bk_var, ks_prepared, ks_var)
+
+    return gate_fn
+
+
+def make_sharded_nand_freq(mesh: Mesh, params: GateBootstrappingParams,
+                           ctx, rotation_impl: str = "auto"):
+    """Frequency-split NAND (small-batch latency mode, gate level)."""
+    from ..core.numeric import mod_switch_to_torus32_np
+    off = int(mod_switch_to_torus32_np(1, 8))
+    return make_sharded_gate_freq(mesh, params, off, -1, -1, ctx,
+                                  rotation_impl)
 
 
 def shard_ntt_key_freq(T8: jax.Array, mesh: Mesh):

@@ -854,8 +854,26 @@ class Interpreter:
 # Standard library (the aos-relevant subset)
 # ---------------------------------------------------------------------------
 
-def _fmt_lua(spec, args):
-    """string.format with Lua %d/%s/%f/%x/%g/%q/%% subset."""
+def _fmt_lua(spec, args, charge=None):
+    """string.format with Lua %d/%s/%f/%x/%g/%q/%% subset.
+
+    ``charge``: optional allocation-rail callback, called with each
+    formatted piece's length as it is produced (incremental, so the
+    cumulative-allocation rail counts the result once), plus a running
+    single-string cap on the joined total — so a format string with many
+    specifiers trips the memory rail while building, before a huge result
+    (or its piece list) materializes (r4 ADVICE low)."""
+    total = 0
+
+    def _acct(piece):
+        nonlocal total
+        total += len(piece)
+        if total > _MAX_STRING:
+            raise LuaError("memory limit exceeded (string too long)")
+        if charge is not None:
+            charge(len(piece))
+        return piece
+
     out = []
     i = 0
     ai = 0
@@ -873,7 +891,7 @@ def _fmt_lua(spec, args):
                 raise LuaError("memory limit exceeded (format width)")
         conv = spec[j]
         if conv == "%":
-            out.append("%")
+            out.append(_acct("%"))
             i = j + 1
             continue
         arg = args[ai]
@@ -887,7 +905,7 @@ def _fmt_lua(spec, args):
             arg = _json.dumps(lua_tostring(arg))
         else:
             arg = lua_tostring(arg)
-        out.append(pyspec % arg)
+        out.append(_acct(pyspec % arg))
         i = j + 1
     return "".join(out)
 
@@ -1052,7 +1070,11 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
         "reverse": lambda s: s[::-1],
         "byte": lambda s, i=1: ord(s[int(i) - 1]) if s else None,
         "char": lambda *a: "".join(chr(int(x)) for x in a),
-        "format": lambda spec, *a: _fmt_lua(spec, list(a)),
+        # charge the joined result incrementally, not only per-specifier
+        # widths: a format string with many specifiers could otherwise
+        # materialize far above _MAX_STRING without hitting either limit
+        # (r4 ADVICE low)
+        "format": lambda spec, *a: _fmt_lua(spec, list(a), charge=_charge),
         "find": lambda s, pat, init=1: _lua_find(s, pat, int(init)),
         "gsub": lambda s, pat, repl, n=None: _lua_gsub(s, pat, repl, n),
         "match": lambda s, pat, init=1: _lua_match(s, pat, int(init)),

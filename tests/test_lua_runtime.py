@@ -269,6 +269,23 @@ def test_format_width_memory_rail():
         _run(interp, "return string.format('%999999999d', 1)")
 
 
+def test_format_many_specifiers_memory_rail():
+    """Each width below the per-run cap, but the JOINED result far above it
+    — the incremental result charge trips the rail (r4 ADVICE low)."""
+    interp = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="memory limit"):
+        _run(interp, """
+            local spec = string.rep('%1000000d', 20)
+            return string.format(spec, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7,
+                                 7, 7, 7, 7, 7, 7, 7, 7, 7, 7)
+        """)
+    # and the result length is charged against the cumulative allocation
+    # rail (not just the single-string cap)
+    G2 = _fresh_interp()
+    _vals, interp2 = lua.run("return string.format('%100d', 1)", G2)
+    assert interp2.str_alloc >= 100
+
+
 def test_normal_strings_unaffected():
     interp = _fresh_interp()
     assert _run(interp, "return string.rep('ab', 3, '-')") == ["ab-ab-ab"]

@@ -8,8 +8,9 @@ vs_baseline is relative to the BASELINE.md target (>= 10k batched gate
 bootstraps/s/chip; the reference publishes no numbers of its own —
 BASELINE.json "published": {}).
 
-Env knobs: EOC_BENCH_BATCH (default 4096), EOC_BENCH_ITERS (default 4),
-EOC_BENCH_PARAMS (128|80|test).
+Env knobs: EOC_BENCH_BATCH (default 4096), EOC_BENCH_ITERS (default 6),
+EOC_BENCH_PARAMS (128|80|test), EOC_BENCH_SERVER (default 1),
+EOC_BENCH_SERVER_N (default 2048), EOC_BENCH_NO_B1, EOC_BENCH_MESH.
 """
 
 import json

@@ -317,6 +317,46 @@ def unpack_lwe_samples(data: bytes, B: int, n: int):
     return a, b, var
 
 
+#: Framework-extension UID for seeded (mask-compressed) LWE samples
+#: (core/lwe.SeededLweCiphertext — the serving tier's upload format).  The
+#: reference has no analog; the value is chosen OUTSIDE its verified UID
+#: table {42, 43, 169, 200, 201} so reference-compat streams can never
+#: contain (or be confused with) this record.
+SEEDED_LWE_SAMPLE_UID = 242
+
+#: uid i32 + threefry key data 2*u32 + b i32 + var f64 = 24 bytes/sample
+#: (vs 12 + 4n for UID 42 — 105x smaller at the 128-bit set's n=630).
+SEEDED_LWE_SAMPLE_BYTES = 4 + 8 + 4 + 8
+
+
+def pack_seeded_lwe_samples(seed: np.ndarray, b: np.ndarray,
+                            var: np.ndarray) -> bytes:
+    """(B, 2) uint32, (B,), (B,) -> B concatenated UID-242 records."""
+    B = seed.shape[0]
+    assert seed.shape == (B, 2)
+    rec = np.empty((B, SEEDED_LWE_SAMPLE_BYTES), np.uint8)
+    rec[:, :4] = np.frombuffer(_I32.pack(SEEDED_LWE_SAMPLE_UID), np.uint8)
+    rec[:, 4:12] = np.ascontiguousarray(seed, "<u4").view(np.uint8).reshape(B, 8)
+    rec[:, 12:16] = np.ascontiguousarray(b, "<i4").view(np.uint8).reshape(B, 4)
+    rec[:, 16:] = np.ascontiguousarray(var, "<f8").view(np.uint8).reshape(B, 8)
+    return rec.tobytes()
+
+
+def unpack_seeded_lwe_samples(data: bytes, B: int):
+    """Inverse of :func:`pack_seeded_lwe_samples` -> (seed (B,2) uint32,
+    b (B,), var (B,))."""
+    rec = np.frombuffer(data, np.uint8)[: B * SEEDED_LWE_SAMPLE_BYTES]
+    rec = rec.reshape(B, SEEDED_LWE_SAMPLE_BYTES)
+    uids = rec[:, :4].copy().view("<i4").ravel()
+    if (uids != SEEDED_LWE_SAMPLE_UID).any():
+        bad = int(np.argmax(uids != SEEDED_LWE_SAMPLE_UID))
+        raise ValueError(f"bad seeded-LweSample UID at record {bad}")
+    seed = rec[:, 4:12].copy().view("<u4").reshape(B, 2)
+    b = rec[:, 12:16].copy().view("<i4").ravel()
+    var = rec[:, 16:].copy().view("<f8").ravel()
+    return seed, b, var
+
+
 def pack_tlwe_samples(polys: np.ndarray, var: np.ndarray) -> bytes:
     """(B, k+1, N), (B,) -> B concatenated UID-169 records."""
     out = native.pack_tlwe_array(polys, var)

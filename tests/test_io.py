@@ -165,3 +165,46 @@ def test_wasm_pinned_uid_table_and_order():
     tail = 4 + 4 * n + 4 + 4 * k * N
     assert blob[-tail:-tail + 4] == (43).to_bytes(4, "little")
     assert blob[-(4 + 4 * k * N):-(4 * k * N)] == (169).to_bytes(4, "little")
+
+
+def test_seeded_sample_pack_roundtrip():
+    """Framework-extension UID-242 seeded records (serving upload format):
+    pack/unpack round-trips, the seed expands to a decryptable ciphertext,
+    and the UID can never collide with a reference-compat record."""
+    import jax
+    import jax.numpy as jnp
+    from eoc_tfhe_tpu.core import gates
+    from eoc_tfhe_tpu.core.keys import new_random_gate_bootstrapping_secret_keyset
+    from eoc_tfhe_tpu.core.lwe import SeededLweCiphertext, lwe_seeded_expand
+    from eoc_tfhe_tpu.core.params import test_params
+
+    p = test_params()
+    ks = new_random_gate_bootstrapping_secret_keyset(jax.random.key(2), p)
+    bits = np.array([0, 1, 1, 0], bool)
+    ct = gates.encrypt_bit_seeded(jax.random.key(3), jnp.asarray(bits),
+                                  ks.lwe_key, p)
+    blob = tfhe_io.pack_seeded_lwe_samples(
+        np.asarray(ct.seed), np.asarray(ct.b),
+        np.asarray(ct.current_variance, np.float64))
+    assert len(blob) == 4 * tfhe_io.SEEDED_LWE_SAMPLE_BYTES
+    seed, b, var = tfhe_io.unpack_seeded_lwe_samples(blob, 4)
+    np.testing.assert_array_equal(seed, np.asarray(ct.seed))
+    np.testing.assert_array_equal(b, np.asarray(ct.b))
+    np.testing.assert_allclose(var, np.asarray(ct.current_variance))
+    got = gates.decrypt_bit(
+        lwe_seeded_expand(SeededLweCiphertext(
+            seed=jnp.asarray(seed), b=jnp.asarray(b),
+            current_variance=jnp.asarray(var, jnp.float32)), p.n),
+        ks.lwe_key)
+    np.testing.assert_array_equal(np.asarray(got), bits)
+    # extension UID stays outside the reference's verified table
+    assert tfhe_io.SEEDED_LWE_SAMPLE_UID not in (
+        tfhe_io.LWE_SAMPLE_UID, tfhe_io.LWE_KEY_UID, tfhe_io.TGSW_KEY_UID,
+        tfhe_io.KEYSWITCH_KEY_UID, tfhe_io.BOOTSTRAP_KEY_UID)
+    # a UID-42 stream must not unpack as seeded records
+    import pytest as _pytest
+    plain = tfhe_io.pack_lwe_samples(
+        np.zeros((2, p.n), np.int32), np.zeros(2, np.int32),
+        np.zeros(2, np.float64))
+    with _pytest.raises(ValueError, match="UID"):
+        tfhe_io.unpack_seeded_lwe_samples(plain, 2)

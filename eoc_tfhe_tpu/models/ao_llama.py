@@ -149,15 +149,27 @@ class LlamaBackend:
         return self._step
 
     def _feed(self) -> None:
-        """Prefill every pending token into the KV cache (one jitted
-        single-token step, reused — same compiled program for prefill and
-        decode)."""
+        """Ingest every pending token into the KV cache.
+
+        A fresh multi-token prompt takes the batched single-pass
+        :func:`llama.prefill` (big MXU matmuls over the whole prompt — the
+        production prefill/decode split); mid-stream tokens take the jitted
+        single-token decode step."""
         import jax.numpy as jnp
+        if self._pos + len(self._pending) > self.cfg.max_seq_len:
+            raise LlamaBackendError(
+                f"context window exhausted ({self.cfg.max_seq_len})")
+        if self._pos == 0 and len(self._pending) > 1:
+            import jax
+            from . import llama
+            cfg = self.cfg
+            toks = jnp.asarray([self._pending], jnp.int32)
+            pf = jax.jit(lambda p, t: llama.prefill(p, t, cfg))
+            self._last_logits, self._cache = pf(self.params, toks)
+            self._pos = len(self._pending)
+            self._pending = []
         step = self._jit_step()
         while self._pending:
-            if self._pos >= self.cfg.max_seq_len:
-                raise LlamaBackendError(
-                    f"context window exhausted ({self.cfg.max_seq_len})")
             tok = self._pending.pop(0)
             self._last_logits, self._cache = step(
                 self.params, self._cache, jnp.int32(self._pos),

@@ -163,7 +163,7 @@ def _block(x, lp, cfg: LlamaConfig, cos, sin, kv_cache, pos, mask,
         new_cache = (ck, cv)
     else:
         att = _attn(q, k, v, mask)
-        new_cache = None
+        new_cache = (k, v)      # this call's keys/values (prefill collects)
     x = x + (att.reshape(B, T, D) @ lp["wo"]).astype(jnp.float32)
 
     h = _rmsnorm(x, lp["ffn_norm"], cfg.norm_eps).astype(compute_dtype)
@@ -195,6 +195,42 @@ def forward(params: dict, tokens: jax.Array, cfg: LlamaConfig,
     out_w = params.get("output", params["tok_embeddings"])
     return (x.astype(compute_dtype) @ out_w.astype(compute_dtype).T
             ).astype(jnp.float32)
+
+
+def prefill(params: dict, tokens: jax.Array, cfg: LlamaConfig,
+            compute_dtype=jnp.bfloat16):
+    """One full-sequence pass that POPULATES the KV cache: (B, Tp) int32 ->
+    (last-position logits (B, V) f32, cache (L, 2, B, S, Hkv, hd)).
+
+    Prompt ingestion as a single batched causal forward (big MXU matmuls
+    over the whole prompt) instead of Tp sequential ``decode_step`` calls —
+    the standard prefill/decode split of production LLM serving.  The
+    returned cache is ``init_kv_cache``-shaped, so ``decode_step`` continues
+    from position Tp; results are identical to the per-token loop
+    (tests/test_llama.py).
+    """
+    B, T = tokens.shape
+    assert T <= cfg.max_seq_len
+    S = cfg.max_seq_len
+    cos, sin = rope_tables(cfg)
+    cos_t, sin_t = cos[:T], sin[:T]
+    x = params["tok_embeddings"][tokens].astype(jnp.float32)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    pad = [(0, 0), (0, S - T), (0, 0), (0, 0)]
+
+    def body(x, lp):
+        x, (k, v) = _block(x, lp, cfg, cos_t, sin_t, None, 0, mask,
+                           compute_dtype)
+        kc = jnp.pad(k.astype(compute_dtype), pad)
+        vc = jnp.pad(v.astype(compute_dtype), pad)
+        return x, jnp.stack([kc, vc])
+
+    x, cache = jax.lax.scan(body, x, _layer_params(params))
+    x = _rmsnorm(x[:, -1], params["norm"], cfg.norm_eps)
+    out_w = params.get("output", params["tok_embeddings"])
+    logits = (x.astype(compute_dtype) @ out_w.astype(compute_dtype).T
+              ).astype(jnp.float32)
+    return logits, cache
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):

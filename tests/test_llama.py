@@ -311,3 +311,35 @@ def test_oracle_is_independent_and_agrees():
     # and the checked-in goldens are byte-for-byte the oracle's output
     np.testing.assert_array_equal(np.asarray(lo, np.float32)[None],
                                   gold["logits"])
+
+
+def test_prefill_matches_decode_loop():
+    """Single-pass prefill == per-token decode-loop ingestion: identical
+    cache continuation and identical greedy continuations (the AO-Llama
+    backend's prompt path, models/ao_llama._feed)."""
+    cfg, p = checkpoint.load_llama2c(os.path.join(_DATA, "llama_tiny_v0.bin"))
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    gold = np.load(os.path.join(_DATA, "llama_tiny_golden.npz"))
+    ids = gold["token_ids"].astype(np.int32)
+    toks = jnp.asarray(ids[None])
+
+    logits_pf, cache_pf = llama.prefill(p, toks, cfg)
+    # loop ingestion
+    cache = llama.init_kv_cache(cfg, 1)
+    for t, tok in enumerate(ids):
+        logits_lp, cache = llama.decode_step(
+            p, cache, jnp.int32(t), jnp.asarray([tok], jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits_pf), np.asarray(logits_lp),
+                               atol=2e-2)
+    # greedy continuation from each path agrees with the oracle golden
+    for logits, c in ((logits_pf, cache_pf), (logits_lp, cache)):
+        got = []
+        pos = len(ids)
+        for _ in range(8):
+            tok = int(np.argmax(np.asarray(logits[0])))
+            got.append(tok)
+            logits, c = llama.decode_step(p, c, jnp.int32(pos),
+                                          jnp.asarray([tok], jnp.int32), cfg)
+            pos += 1
+        np.testing.assert_array_equal(np.asarray(got, np.int32),
+                                      gold["generated"][0])

@@ -330,9 +330,14 @@ def main() -> None:
         from eoc_tfhe_tpu.serving import GateServer
         from eoc_tfhe_tpu.core.lwe import SeededLweCiphertext
         Ns = int(os.environ.get("EOC_BENCH_SERVER_N", "2048"))
-        cas = gates.encrypt_bit_seeded(jax.random.key(7), jnp.asarray(a[:Ns]),
+        # fresh plaintexts of exactly Ns (independent of EOC_BENCH_BATCH;
+        # a[:Ns] would silently truncate when Ns > B and crash rows() below)
+        rng_s = np.random.default_rng(1)
+        a_s = rng_s.integers(0, 2, Ns).astype(bool)
+        b_s = rng_s.integers(0, 2, Ns).astype(bool)
+        cas = gates.encrypt_bit_seeded(jax.random.key(7), jnp.asarray(a_s),
                                        keyset.lwe_key, params)
-        cbs = gates.encrypt_bit_seeded(jax.random.key(8), jnp.asarray(b[:Ns]),
+        cbs = gates.encrypt_bit_seeded(jax.random.key(8), jnp.asarray(b_s),
                                        keyset.lwe_key, params)
         # client-side ciphertexts live on the host (numpy rows): one
         # device transfer happens at batch-stack time, not per request
@@ -362,7 +367,7 @@ def main() -> None:
             b=jnp.asarray(np.stack([o.b for o in outs])),
             current_variance=jnp.zeros(Ns, jnp.float32))
         got_srv = np.asarray(gates.decrypt_bit(out_ct, keyset.lwe_key))
-        ok_srv = bool(np.array_equal(got_srv, ~(a[:Ns] & b[:Ns])))
+        ok_srv = bool(np.array_equal(got_srv, ~(a_s & b_s)))
         server_stats = {"requests": Ns, "gates_per_s": round(Ns / dt_srv, 2),
                         "flushes": srv.stats["flushes"], "correct": ok_srv}
         print(f"# server: {Ns} reqs in {dt_srv:.2f}s = "

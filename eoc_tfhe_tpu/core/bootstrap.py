@@ -159,6 +159,21 @@ def _attach_scan_form(ek: EvalKey, ctx, small_batch: bool) -> EvalKey:
 
 
 
+def _device_ctx(ctx):
+    """Device-resident copy of the NTT context arrays for the EvalKey.
+
+    Two placements, deliberately different (r5 review finding + the r5
+    keygen fix): ``make_context`` keeps HOST numpy so build graphs that
+    close over the context lower without a device->host constant fetch
+    (seconds through the relay); but as EvalKey fields the arrays travel as
+    jit ARGUMENTS on every gate call, where numpy leaves are re-uploaded
+    host->device per call (~3.7 ms/call measured on the relay) — so the
+    finished key carries device copies."""
+    return dataclasses.replace(ctx, Wf8=jnp.asarray(ctx.Wf8),
+                               Wi8=jnp.asarray(ctx.Wi8),
+                               omega=jnp.asarray(ctx.omega))
+
+
 def _maybe_expand_kernel_key(ek: EvalKey, ctx, params) -> EvalKey:
     """Optional expanded [A; 256A mod p] kernel key
     (ops/pallas_ntt_blindrot2.expand_kernel_key_256): halves the pointwise
@@ -210,13 +225,20 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
     """
     from ..ops import ntt, pallas_ntt_blindrot2
     ek = prepare_eval_key(cloud)
+    explicit_kernel = kernel is True
     if kernel == "auto":
         kernel = jax.default_backend() == "tpu"
     # Digit magnitude: the kernel handles |digit| <= 128 as single int8
     # values and larger bases (80-bit set: Bg=2^10, halfBg=512) via its
     # 2-limb digit split (r5 — previously only the XLA-scan path could;
-    # the r4 lockout is gone).  The split domain caps at 32639.
+    # the r4 lockout is gone).  The split domain caps at 32639; beyond it
+    # auto falls back to the scan path, an EXPLICIT kernel=True raises
+    # rather than silently downgrading (r5 review finding).
     if kernel and params.tgsw_params.halfBg > 32639:
+        if explicit_kernel:
+            raise ValueError(
+                f"fused kernel digit split requires halfBg <= 32639 (got "
+                f"{params.tgsw_params.halfBg}); use kernel='auto' or False")
         kernel = False
     if small_batch == "auto":
         small_batch = bool(kernel) and jax.default_backend() == "tpu"
@@ -226,6 +248,12 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         ctx = ntt.context_for_params(params, rounded)
     ek.ntt_ctx = ctx
     ek.form = "ntt_kernel" if kernel else "ntt_scan"
+
+    def _finish(ek):
+        # finished keys carry DEVICE context arrays (gate-call arguments);
+        # the host copy above stays for the build closures — see _device_ctx
+        ek.ntt_ctx = _device_ctx(ek.ntt_ctx)
+        return _check_eval_key(ek)
 
     # Optional disk cache of the prepared form: EOC_NTT_KEY_CACHE=<dir>.
     # Keyed by the raw TGSW rows AND the full NTT plan + layout version, and
@@ -259,12 +287,11 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
             elif kernel:
                 ek.bk_ntt_kernel = jnp.asarray(T8c)
                 _attach_scan_form(ek, ctx, small_batch)
-                return _check_eval_key(
-                    _maybe_expand_kernel_key(ek, ctx, params))
+                return _finish(_maybe_expand_kernel_key(ek, ctx, params))
             else:
                 ek.bk_ntt = ntt.NttKey(T8=jnp.asarray(T8c),
                                        variance=ek.bk_variance)
-                return _check_eval_key(ek)
+                return _finish(ek)
 
     # Build the prepared key.  On a real TPU the build MUST run on device:
     # the transform is seconds of device work on a 31 MB input, whereas
@@ -286,7 +313,7 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
             # cache write would pull 743 MB back through the relay — skip.
             pass
         _attach_scan_form(ek, ctx, small_batch)
-        return _check_eval_key(_maybe_expand_kernel_key(ek, ctx, params))
+        return _finish(_maybe_expand_kernel_key(ek, ctx, params))
     if kernel:
         T8c = pallas_ntt_blindrot2.pad_kernel_key(
             ntt.prepare_kernel_key_fast_np(np.asarray(ek.bk_rows), ctx))
@@ -305,7 +332,7 @@ def prepare_eval_key_ntt(cloud: CloudKeySet,
         tmp = cache_path + f".tmp.{os.getpid()}.npy"
         np.save(tmp, T8c)
         os.replace(tmp, cache_path)
-    return _check_eval_key(ek)
+    return _finish(ek)
 
 
 def cmux_rotate_step(acc: jax.Array, bk_row: jax.Array, bara_i: jax.Array,

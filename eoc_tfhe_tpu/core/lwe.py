@@ -87,19 +87,20 @@ def lwe_sym_encrypt(key: jax.Array, message: jax.Array, alpha: float, lwe_key: L
 class SeededLweCiphertext:
     """LWE sample with the public mask ``a`` stored as its PRNG seed.
 
-    The mask of an LWE encryption is public uniform randomness; shipping the
-    32-byte-equivalent threefry key data instead of the n*4-byte vector is
-    the standard TFHE "seeded/compressed ciphertext" trick (the reference
-    has no wire-compression tier — its per-sample base64 blobs carry the
-    full ``a``, ``eoc-tfhe-run.cpp:294`` — but its unseeded-lrand48 keygen
+    The mask of an LWE encryption is public uniform randomness; shipping a
+    16-byte seed instead of the n*4-byte vector is the standard TFHE
+    "seeded/compressed ciphertext" trick (the reference has no
+    wire-compression tier — its per-sample base64 blobs carry the full
+    ``a``, ``eoc-tfhe-run.cpp:294`` — but its unseeded-lrand48 keygen
     relies on exactly the same replayable-PRNG property, SURVEY.md §5).
     ``expand`` reconstructs bit-identical ciphertexts on any backend
-    (threefry is backend-independent).  Motivation here: the serving tier's
-    client->server upload shrinks from 2,524 B to 12 B per request
-    (serving.py; the relay link is the measured bottleneck, ROOFLINE.md).
+    (threefry is backend-independent, and the expansion impl is pinned —
+    ``_MASK_IMPL``).  Motivation here: the serving tier's client->server
+    upload shrinks from 2,524 B to ~24 B per request (serving.py; the relay
+    link is the measured bottleneck, ROOFLINE.md).
     """
 
-    seed: jax.Array  # (..., 2) uint32 threefry key data for the mask PRNG
+    seed: jax.Array  # (..., 4) uint32 — 128-bit mask seed (see _expand_mask)
     b: jax.Array     # (...)    int32
     current_variance: jax.Array  # (...) float32
 
@@ -108,12 +109,30 @@ class SeededLweCiphertext:
         return self.b.shape
 
 
+#: The mask-expansion PRNG is PINNED, not ambient: client and server must
+#: derive identical masks regardless of either process's
+#: ``jax_default_prng_impl`` (r5 review: under impl="rbg" the key-data
+#: layout differs and the wire format would break).
+_MASK_IMPL = "threefry2x32"
+
+
 def _expand_mask(seed_data: jax.Array, n: int) -> jax.Array:
-    """(..., 2) uint32 key data -> (..., n) int32 masks (vmapped threefry)."""
-    flat = seed_data.reshape((-1, 2))
+    """(..., 4) uint32 128-bit seeds -> (..., n) int32 masks.
+
+    Construction: the 4 words form TWO independent threefry2x32 keys; the
+    mask is the XOR of their output streams.  XOR of independent uniform
+    streams stays uniform, and a mask collision now needs BOTH 64-bit keys
+    to collide — a 2^128 keyspace / 2^64 birthday bound instead of the
+    single-key 2^64 / 2^32 (r5 review: at the serving tier's ~5k/s a 2^32
+    corpus is reachable; identical masks leak plaintext differences via
+    b1 - b2)."""
+    flat = seed_data.reshape((-1, 4))
 
     def one(kd):
-        return uniform_torus32(jax.random.wrap_key_data(kd), (n,))
+        k1 = jax.random.wrap_key_data(kd[:2], impl=_MASK_IMPL)
+        k2 = jax.random.wrap_key_data(kd[2:], impl=_MASK_IMPL)
+        return (jax.random.bits(k1, (n,), jnp.uint32)
+                ^ jax.random.bits(k2, (n,), jnp.uint32)).astype(jnp.int32)
 
     a = jax.vmap(one)(flat)
     return a.reshape(seed_data.shape[:-1] + (n,))
@@ -123,22 +142,23 @@ def lwe_sym_encrypt_seeded(key: jax.Array, message: jax.Array, alpha: float,
                            lwe_key: LweKey) -> SeededLweCiphertext:
     """``lweSymEncrypt`` emitting a seeded ciphertext.
 
-    Each batch element gets its own mask seed (derived by ``jax.random.split``)
-    so rows are independently shippable; ``lwe_seeded_expand`` of the result
-    decrypts identically to :func:`lwe_sym_encrypt` output at the same noise
-    level.
+    Each batch element gets its own 128-bit mask seed (uniform words drawn
+    from the caller's key — any PRNG impl; expansion itself is pinned, see
+    ``_MASK_IMPL``) so rows are independently shippable;
+    ``lwe_seeded_expand`` of the result decrypts identically to
+    :func:`lwe_sym_encrypt` output at the same noise level.
     """
     message = jnp.asarray(message, jnp.int32)
     shape = message.shape
     B = int(np.prod(shape)) if shape else 1
     k_a, k_e = jax.random.split(key)
-    seeds = jax.random.key_data(jax.random.split(k_a, B))       # (B, 2)
+    seeds = jax.random.bits(k_a, (B, 4), jnp.uint32)            # (B, 4)
     a = _expand_mask(seeds, lwe_key.n).reshape(shape + (lwe_key.n,))
     noisy_mu = gaussian32(message, alpha, k_e, shape)
     b = noisy_mu + jnp.einsum("...n,n->...", a, lwe_key.s,
                               preferred_element_type=jnp.int32).astype(jnp.int32)
     var = jnp.full(shape, np.float32(alpha) ** 2, jnp.float32)
-    return SeededLweCiphertext(seed=seeds.reshape(shape + (2,)),
+    return SeededLweCiphertext(seed=seeds.reshape(shape + (4,)),
                                b=b.astype(jnp.int32), current_variance=var)
 
 

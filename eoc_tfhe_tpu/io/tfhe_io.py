@@ -324,26 +324,29 @@ def unpack_lwe_samples(data: bytes, B: int, n: int):
 #: contain (or be confused with) this record.
 SEEDED_LWE_SAMPLE_UID = 242
 
-#: uid i32 + threefry key data 2*u32 + b i32 + var f64 = 24 bytes/sample
-#: (vs 12 + 4n for UID 42 — 105x smaller at the 128-bit set's n=630).
-SEEDED_LWE_SAMPLE_BYTES = 4 + 8 + 4 + 8
+#: uid i32 + 128-bit seed 4*u32 + b i32 + var f64 = 32 bytes/sample
+#: (vs 12 + 4n for UID 42 — ~79x smaller at the 128-bit set's n=630).
+#: The seed is 4 uint32 words (two pinned threefry2x32 keys whose output
+#: streams XOR — core/lwe._expand_mask; 64-bit birthday bound on mask
+#: collisions instead of 2^32, r5 review finding).
+SEEDED_LWE_SAMPLE_BYTES = 4 + 16 + 4 + 8
 
 
 def pack_seeded_lwe_samples(seed: np.ndarray, b: np.ndarray,
                             var: np.ndarray) -> bytes:
-    """(B, 2) uint32, (B,), (B,) -> B concatenated UID-242 records."""
+    """(B, 4) uint32, (B,), (B,) -> B concatenated UID-242 records."""
     B = seed.shape[0]
-    assert seed.shape == (B, 2)
+    assert seed.shape == (B, 4)
     rec = np.empty((B, SEEDED_LWE_SAMPLE_BYTES), np.uint8)
     rec[:, :4] = np.frombuffer(_I32.pack(SEEDED_LWE_SAMPLE_UID), np.uint8)
-    rec[:, 4:12] = np.ascontiguousarray(seed, "<u4").view(np.uint8).reshape(B, 8)
-    rec[:, 12:16] = np.ascontiguousarray(b, "<i4").view(np.uint8).reshape(B, 4)
-    rec[:, 16:] = np.ascontiguousarray(var, "<f8").view(np.uint8).reshape(B, 8)
+    rec[:, 4:20] = np.ascontiguousarray(seed, "<u4").view(np.uint8).reshape(B, 16)
+    rec[:, 20:24] = np.ascontiguousarray(b, "<i4").view(np.uint8).reshape(B, 4)
+    rec[:, 24:] = np.ascontiguousarray(var, "<f8").view(np.uint8).reshape(B, 8)
     return rec.tobytes()
 
 
 def unpack_seeded_lwe_samples(data: bytes, B: int):
-    """Inverse of :func:`pack_seeded_lwe_samples` -> (seed (B,2) uint32,
+    """Inverse of :func:`pack_seeded_lwe_samples` -> (seed (B,4) uint32,
     b (B,), var (B,))."""
     rec = np.frombuffer(data, np.uint8)[: B * SEEDED_LWE_SAMPLE_BYTES]
     rec = rec.reshape(B, SEEDED_LWE_SAMPLE_BYTES)
@@ -351,9 +354,9 @@ def unpack_seeded_lwe_samples(data: bytes, B: int):
     if (uids != SEEDED_LWE_SAMPLE_UID).any():
         bad = int(np.argmax(uids != SEEDED_LWE_SAMPLE_UID))
         raise ValueError(f"bad seeded-LweSample UID at record {bad}")
-    seed = rec[:, 4:12].copy().view("<u4").reshape(B, 2)
-    b = rec[:, 12:16].copy().view("<i4").ravel()
-    var = rec[:, 16:].copy().view("<f8").ravel()
+    seed = rec[:, 4:20].copy().view("<u4").reshape(B, 4)
+    b = rec[:, 20:24].copy().view("<i4").ravel()
+    var = rec[:, 24:].copy().view("<f8").ravel()
     return seed, b, var
 
 

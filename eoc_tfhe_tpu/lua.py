@@ -889,11 +889,18 @@ def _fmt_lua(spec, args, charge=None):
         for run in re.findall(r"\d+", spec[i + 1:j]):
             if int(run) > _MAX_STRING:   # width/precision memory rail
                 raise LuaError("memory limit exceeded (format width)")
+        if j >= len(spec):
+            # trailing '%' with no conversion char — Lua-level error, not a
+            # host IndexError (r5 review finding)
+            raise LuaError("invalid format string to 'format'")
         conv = spec[j]
         if conv == "%":
             out.append(_acct("%"))
             i = j + 1
             continue
+        if ai >= len(args):
+            raise LuaError(
+                f"bad argument #{ai + 2} to 'format' (no value)")
         arg = args[ai]
         ai += 1
         pyspec = "%" + spec[i + 1:j] + (conv if conv != "q" else "s")

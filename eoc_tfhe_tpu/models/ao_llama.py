@@ -65,6 +65,8 @@ class LlamaBackend:
         self._pending: list[int] = []   # tokens not yet prefetched into cache
         self._last_logits = None    # logits after the last cached token
         self._step = None           # jitted decode_step
+        self._prefill = None        # jitted batched prefill
+        self._utf8_buf = b""        # incomplete UTF-8 tail across tokens
 
     # -- model loading ------------------------------------------------------
 
@@ -100,6 +102,7 @@ class LlamaBackend:
             self.on_log(3, f"tokenizer vocab {self.tokenizer.vocab_size} != "
                            f"model vocab {cfg.vocab_size}")
         self._step = None
+        self._prefill = None
         self.on_progress(".")
         self._reset_stream()
         self.on_log(4, f"model loaded: dim={cfg.dim} layers={cfg.n_layers} "
@@ -118,6 +121,7 @@ class LlamaBackend:
         self._pos = 0
         self._pending = []
         self._last_logits = None
+        self._utf8_buf = b""
 
     def set_prompt(self, prompt: str) -> None:
         self._require_model()
@@ -160,12 +164,16 @@ class LlamaBackend:
             raise LlamaBackendError(
                 f"context window exhausted ({self.cfg.max_seq_len})")
         if self._pos == 0 and len(self._pending) > 1:
-            import jax
-            from . import llama
-            cfg = self.cfg
+            if self._prefill is None:
+                # cached like _step: a fresh jax.jit wrapper per prompt
+                # would recompile even for repeated prompt lengths
+                import jax
+                from . import llama
+                cfg = self.cfg
+                self._prefill = jax.jit(
+                    lambda p, t: llama.prefill(p, t, cfg))
             toks = jnp.asarray([self._pending], jnp.int32)
-            pf = jax.jit(lambda p, t: llama.prefill(p, t, cfg))
-            self._last_logits, self._cache = pf(self.params, toks)
+            self._last_logits, self._cache = self._prefill(self.params, toks)
             self._pos = len(self._pending)
             self._pending = []
         step = self._jit_step()
@@ -176,6 +184,27 @@ class LlamaBackend:
                 jnp.asarray([tok], jnp.int32))
             self._pos += 1
 
+    def _emit_piece(self, tok: int) -> str:
+        """Token -> text with UTF-8 buffering across tokens: a multi-byte
+        character split over byte-fallback tokens must not decode to
+        replacement characters piecewise (r5 review — 'é' arrives as two
+        byte tokens).  Incomplete trailing sequences wait in _utf8_buf for
+        the next token; flushed by the next complete boundary."""
+        buf = self._utf8_buf + self.tokenizer._bytes(tok)
+        cut = len(buf)
+        for i in range(1, min(4, len(buf)) + 1):
+            c = buf[-i]
+            if c < 0x80:          # ASCII tail — everything complete
+                break
+            if c >= 0xC0:         # lead byte: is its sequence complete?
+                need = 2 if c < 0xE0 else 3 if c < 0xF0 else 4
+                if i < need:
+                    cut = len(buf) - i
+                break
+            # else continuation byte — keep scanning backwards
+        out, self._utf8_buf = buf[:cut], buf[cut:]
+        return out.decode("utf-8", errors="replace")
+
     def next(self) -> str:
         """Generate one token (greedy); returns its decoded piece."""
         self._require_model()
@@ -185,7 +214,7 @@ class LlamaBackend:
         tok = int(np.argmax(np.asarray(self._last_logits[0])))
         self._pending.append(tok)       # token joins the context
         self.on_progress(".")
-        return self.tokenizer.decode([tok])
+        return self._emit_piece(tok)
 
     def run(self, count: int) -> str:
         """Generate ``count`` tokens; returns the concatenated text."""

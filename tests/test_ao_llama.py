@@ -151,3 +151,20 @@ def test_llama_log_plumbing(store):
     _eval(p, 'Llama.logLevel = 2')
     _eval(p, f'Llama.load("{head}")')
     assert _eval(p, 'return #Llama.log["info"]') == n
+
+
+def test_utf8_pieces_buffer_across_tokens(store):
+    """A multi-byte UTF-8 character split across byte-fallback tokens must
+    not decode to replacement characters piecewise (r5 review)."""
+    st, head = store
+    be = LlamaBackend(store=st)
+    be.load(head)
+    # drive _emit_piece directly with the byte-fallback ids of 'é' (0xC3,
+    # 0xA9 -> ids 3+0xC3, 3+0xA9 in the llama2.c byte region)
+    assert be._emit_piece(3 + 0xC3) == ""        # incomplete: buffered
+    assert be._emit_piece(3 + 0xA9) == "é"  # completes to 'é'
+    assert be._utf8_buf == b""
+    # ASCII flushes any dangling (invalid) tail as replacement, then itself
+    assert be._emit_piece(3 + 0xC3) == ""
+    out = be._emit_piece(3 + ord("x"))
+    assert out.endswith("x")

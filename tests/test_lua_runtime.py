@@ -319,3 +319,16 @@ def test_pcall_catches_host_errors():
     # stdlib failure path: string.rep with a non-numeric count
     ok2, err2 = _run(G, "local ok, e = pcall(string.rep, 'a', 'zz'); return ok, e")
     assert ok2 is False and err2
+
+
+def test_format_error_semantics():
+    """Malformed format strings raise Lua-level errors, not host
+    IndexErrors (r5 review): trailing '%' and missing arguments."""
+    G = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="invalid format string"):
+        _run(G, "return string.format('abc%')")
+    with pytest.raises(lua.LuaError, match="no value"):
+        _run(G, "return string.format('%d %d', 1)")
+    # and both are catchable from Lua with pcall
+    vals = _run(G, "local ok, e = pcall(string.format, 'x%'); return ok")
+    assert vals == [False]

@@ -45,10 +45,14 @@ from .core.lwe import LweCiphertext, SeededLweCiphertext, lwe_seeded_expand
 from .core.bootstrap import EvalKey
 from .core.params import GateBootstrappingParams
 
-#: Gate kinds servable by name.
+#: Two-input gate kinds servable by name.
 GATE_FNS = {name: getattr(gates, name)
             for name in ("nand", "and_", "or_", "nor", "xor_", "xnor",
                          "andny", "andyn", "orny", "oryn")}
+
+#: Three-input kinds (submit(kind, c, a, b) — selector first, matching
+#: ``gates.mux``; upstream ``bootsMUX`` is the one 3-input gate).
+GATE_FNS3 = {"mux": gates.mux}
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -64,6 +68,7 @@ class _Request:
     ca: LweCiphertext
     cb: LweCiphertext
     future: Future
+    cc: LweCiphertext | None = None      # third operand (mux only)
     t_enqueue: float = field(default_factory=time.monotonic)
 
 
@@ -97,7 +102,8 @@ class GateServer:
         # Queues keyed (gate kind, seeded?) — a flush batch must be
         # homogeneous in input representation to stack into one program.
         self._queues: dict[tuple[str, bool], list[_Request]] = {
-            (k, s): [] for k in GATE_FNS for s in (False, True)}
+            (k, s): [] for k in (*GATE_FNS, *GATE_FNS3)
+            for s in (False, True)}
         # One jitted program per gate kind (jax re-specializes per bucket
         # shape); eval key passes as an argument — never baked into the HLO.
         self._compiled: dict[str, object] = {}
@@ -114,23 +120,32 @@ class GateServer:
 
     # -- client side -------------------------------------------------------
 
-    def submit(self, kind: str, ca, cb) -> Future:
-        """Queue one gate.  ``ca``/``cb``: scalar-batch ``LweCiphertext`` or
-        ``SeededLweCiphertext`` (both operands the same representation —
-        seeded is the wire-efficient upload, see module docstring)."""
-        if kind not in GATE_FNS:
+    def submit(self, kind: str, ca, cb, cc=None) -> Future:
+        """Queue one gate.  Operands: scalar-batch ``LweCiphertext`` or
+        ``SeededLweCiphertext`` (all the same representation — seeded is the
+        wire-efficient upload, see module docstring).  Two-input kinds take
+        (ca, cb); ``"mux"`` takes (c, a, b) — selector first, like
+        ``gates.mux``."""
+        if kind in GATE_FNS3:
+            if cc is None:
+                raise ValueError(f"gate kind {kind!r} takes three operands")
+        elif kind in GATE_FNS:
+            if cc is not None:
+                raise ValueError(f"gate kind {kind!r} takes two operands")
+        else:
             raise ValueError(f"unknown gate kind {kind!r}; one of "
-                             f"{sorted(GATE_FNS)}")
+                             f"{sorted(GATE_FNS) + sorted(GATE_FNS3)}")
+        ops = (ca, cb) if cc is None else (ca, cb, cc)
         seeded = isinstance(ca, SeededLweCiphertext)
-        if seeded != isinstance(cb, SeededLweCiphertext):
-            raise ValueError("operands must both be seeded or both plain")
-        if np.ndim(ca.b) != 0 or np.ndim(cb.b) != 0:
+        if any(isinstance(o, SeededLweCiphertext) != seeded for o in ops):
+            raise ValueError("operands must all be seeded or all plain")
+        if any(np.ndim(o.b) != 0 for o in ops):
             raise ValueError("submit() takes single (scalar-batch) ciphertexts")
         fut: Future = Future()
         with self._lock:
             if self._stop:
                 raise RuntimeError("server stopped")
-            self._queues[kind, seeded].append(_Request(ca, cb, fut))
+            self._queues[kind, seeded].append(_Request(ca, cb, fut, cc=cc))
         self._wake.set()
         return fut
 
@@ -197,26 +212,24 @@ class GateServer:
         gate = self._compiled.get(qkey)
         if gate is None:
             kind, seeded = qkey
-            base = GATE_FNS[kind]
+            base = GATE_FNS3.get(kind) or GATE_FNS[kind]
+            nops = 3 if kind in GATE_FNS3 else 2
             n = self.params.n
 
-            if seeded:
-                @jax.jit
-                def gate(casd, cab, cav, cbsd, cbb, cbv, ek):
-                    # masks re-derived on-device from the 12 B/request seeds
-                    ca = lwe_seeded_expand(SeededLweCiphertext(
-                        casd, cab, cav), n)
-                    cb = lwe_seeded_expand(SeededLweCiphertext(
-                        cbsd, cbb, cbv), n)
-                    out = base(ca, cb, ek, self.params, self.rotation_impl)
-                    return out.a, out.b, out.current_variance
-            else:
-                @jax.jit
-                def gate(caa, cab, cav, cba, cbb, cbv, ek):
-                    out = base(LweCiphertext(caa, cab, cav),
-                               LweCiphertext(cba, cbb, cbv),
-                               ek, self.params, self.rotation_impl)
-                    return out.a, out.b, out.current_variance
+            @jax.jit
+            def gate(*flat_and_ek):
+                ek = flat_and_ek[-1]
+                cts = []
+                for o in range(nops):
+                    m, b, v = flat_and_ek[3 * o: 3 * o + 3]
+                    if seeded:
+                        # masks re-derived on-device from the 16 B seeds
+                        cts.append(lwe_seeded_expand(
+                            SeededLweCiphertext(m, b, v), n))
+                    else:
+                        cts.append(LweCiphertext(m, b, v))
+                out = base(*cts, ek, self.params, self.rotation_impl)
+                return out.a, out.b, out.current_variance
 
             self._compiled[qkey] = gate
         return gate
@@ -243,8 +256,10 @@ class GateServer:
                         np.stack([r[1] for r in rows]),
                         np.stack([r[2] for r in rows]))
 
-            ca = stack([r.ca for r in reqs])
-            cb = stack([r.cb for r in reqs])
+            stacks = [stack([r.ca for r in reqs]), stack([r.cb for r in reqs])]
+            if _kind in GATE_FNS3:
+                stacks.append(stack([r.cc for r in reqs]))
+            flat = tuple(x for s in stacks for x in s)
             gate = self._gate_program(qkey)
 
             # Pipelined chunks: dispatch every chunk's H2D + compute + async
@@ -252,7 +267,7 @@ class GateServer:
             # chunk k overlaps the compute of chunk k+1 (module docstring).
             outs = []
             for o in range(0, Bp, chunk):
-                args = [jnp.asarray(x[o:o + chunk]) for x in ca + cb]
+                args = [jnp.asarray(x[o:o + chunk]) for x in flat]
                 out = gate(*args, self.ek)
                 for x in out:
                     x.copy_to_host_async()

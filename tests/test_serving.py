@@ -106,6 +106,34 @@ def test_seeded_requests_match_plain(setup):
     srv2.stop()
 
 
+def test_mux_three_operand_serving(setup):
+    """bootsMUX through the server: submit("mux", c, a, b) — selector
+    first — batches like the 2-input kinds and decrypts c ? a : b."""
+    ks, ek = setup
+    c = np.array([0, 1, 0, 1], bool)
+    a = np.array([1, 1, 0, 0], bool)
+    b = np.array([0, 0, 1, 1], bool)
+    cc, ca, cb = _enc(ks, c, 21), _enc(ks, a, 22), _enc(ks, b, 23)
+
+    def row(ct, i):
+        return jax.tree.map(lambda x: x[i], ct)
+
+    with GateServer(ek, P, max_batch=8, max_delay_s=0.2) as srv:
+        futs = [srv.submit("mux", row(cc, i), row(ca, i), row(cb, i))
+                for i in range(4)]
+        srv.flush()
+        outs = [f.result(timeout=180) for f in futs]
+    got = np.asarray([bool(gates.decrypt_bit(o, ks.lwe_key)) for o in outs])
+    np.testing.assert_array_equal(got, np.where(c, a, b))
+    # arity validation
+    srv2 = GateServer(ek, P)
+    with pytest.raises(ValueError, match="three operands"):
+        srv2.submit("mux", row(cc, 0), row(ca, 0))
+    with pytest.raises(ValueError, match="two operands"):
+        srv2.submit("nand", row(cc, 0), row(ca, 0), row(cb, 0))
+    srv2.stop()
+
+
 def test_errors_and_validation(setup):
     ks, ek = setup
     ca = _enc(ks, np.array([1], bool), 6)

@@ -98,8 +98,36 @@ out = LweCiphertext(a=jnp.asarray(ga), b=jnp.asarray(gb),
 dec = np.asarray(gates.decrypt_bit(out, keyset.lwe_key))
 assert np.array_equal(dec, ~(a & b)), dec
 
+# Gate-level frequency-split NAND over the same hybrid mesh (r5): the
+# all_to_all blind rotation + tp-psum keyswitch crossing real process
+# boundaries, decrypt-checked and dumped for the parent's bit-identity diff.
+from eoc_tfhe_tpu.parallel.sharded import make_sharded_nand_freq
+ek_ntt = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
+args_f = (
+    globalize(ca.a, P("dp")), globalize(ca.b, P("dp")),
+    globalize(ca.current_variance, P("dp")),
+    globalize(cb.a, P("dp")), globalize(cb.b, P("dp")),
+    globalize(cb.current_variance, P("dp")),
+    globalize(np.asarray(ek_ntt.bk_ntt.T8),
+              P(None, None, None, None, "tp", None, None)),
+    globalize(np.float32(ek_ntt.bk_variance), P()),
+    globalize(np.asarray(ek_ntt.ks_prepared), P("tp")),
+    globalize(np.float32(keyset.cloud.bk.ks.variance), P()),
+)
+fnf = make_sharded_nand_freq(mesh, params, ek_ntt.ntt_ctx)
+fa_, fb_, fv_ = fnf(*args_f)
+gfa = np.asarray(jax.device_get(
+    jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(fa_)))
+gfb = np.asarray(jax.device_get(
+    jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(fb_)))
+outf = LweCiphertext(a=jnp.asarray(gfa), b=jnp.asarray(gfb),
+                     current_variance=jnp.zeros(gfb.shape, jnp.float32))
+decf = np.asarray(gates.decrypt_bit(outf, keyset.lwe_key))
+assert np.array_equal(decf, ~(a & b)), decf
+
 with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
     json.dump({"a": ga.tolist(), "b": gb.tolist(), "var": gv.tolist(),
+               "fa": gfa.tolist(), "fb": gfb.tolist(),
                "process_count": jax.process_count()}, f)
 print("WORKER_OK", pid)
 """
@@ -174,3 +202,12 @@ def test_two_process_distributed_nand(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ref.current_variance, np.float32),
         np.asarray(r0["var"], np.float32))
+
+    # The freq-split gate-level leg is bit-identical to the single-process
+    # NTT-path NAND too (same scan plan; different collective schedule).
+    ek_ntt = bootstrap.prepare_eval_key_ntt(keyset.cloud, params)
+    ref_f = gates.nand(ca, cb, ek_ntt, params)
+    np.testing.assert_array_equal(np.asarray(ref_f.a),
+                                  np.asarray(r0["fa"], np.int32))
+    np.testing.assert_array_equal(np.asarray(ref_f.b),
+                                  np.asarray(r0["fb"], np.int32))

@@ -15,6 +15,9 @@ Every field is consumed by real code (VERDICT r3 item 7):
   * ``batch_size``       -> ``bench.py`` default batch (EOC_BENCH_BATCH unset)
   * ``profile_echo``     -> ``utils.profiling.PROFILER.echo`` (applied at
     session construction / :meth:`apply_profiling`)
+  * ``serving_max_batch`` / ``serving_max_delay_s`` /
+    ``serving_pipeline_chunk`` -> :meth:`make_gate_server`
+    (``serving.GateServer`` flush policy + D2H/compute overlap pipeline)
 """
 
 from __future__ import annotations
@@ -62,6 +65,13 @@ class FrameworkConfig:
     batch_size: int = 4096
     # Per-op profiler echo (reference-style "completed in X ms" prints).
     profile_echo: bool = False
+    # Serving tier (serving.GateServer): flush at this many queued gates...
+    serving_max_batch: int = 2048
+    # ...or this many seconds after the oldest queued request.
+    serving_max_delay_s: float = 0.005
+    # Chunked-flush pipeline granularity (v5e sweep: 256 optimal —
+    # serving.GateServer.pipeline_chunk).
+    serving_pipeline_chunk: int = 256
 
     def __post_init__(self) -> None:
         if self.eval_key_form not in EVAL_KEY_FORM_CHOICES:
@@ -110,6 +120,19 @@ class FrameworkConfig:
         ns.copy = gates.copy
         ns.constant = functools.partial(gates.constant, params=params)
         return ns
+
+    def make_gate_server(self, ek, params: GateBootstrappingParams | None = None,
+                         **overrides):
+        """Batching gate server with this config's flush/pipeline policy
+        (``serving.GateServer``); keyword overrides win."""
+        from .serving import GateServer
+        params = params or self.params()
+        kw = dict(max_batch=self.serving_max_batch,
+                  max_delay_s=self.serving_max_delay_s,
+                  rotation_impl=self.rotation_impl,
+                  pipeline_chunk=self.serving_pipeline_chunk)
+        kw.update(overrides)
+        return GateServer(ek, params, **kw)
 
     def make_mesh(self, devices=None):
         """(dp, tp) device mesh from the configured axis sizes."""

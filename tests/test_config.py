@@ -98,3 +98,27 @@ def test_roundtrip_json():
     cfg = FrameworkConfig(param_set="80", eval_key_form="ntt_rounded",
                           mesh_tp=4, batch_size=512, profile_echo=True)
     assert FrameworkConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_serving_fields_consumed():
+    """serving_* fields actually configure the GateServer (consumer-map
+    discipline: every config field changes real behavior)."""
+    import jax
+    from eoc_tfhe_tpu.core import bootstrap, keys
+    from eoc_tfhe_tpu.core.params import test_params
+    p = test_params()
+    ks = keys.new_random_gate_bootstrapping_secret_keyset(jax.random.key(1), p)
+    ek = bootstrap.prepare_eval_key(ks.cloud)
+    cfg = FrameworkConfig(param_set="test", serving_max_batch=7,
+                          serving_max_delay_s=1.25, serving_pipeline_chunk=3)
+    srv = cfg.make_gate_server(ek, p)
+    try:
+        assert srv.max_batch == 7
+        assert srv.max_delay_s == 1.25
+        assert srv.pipeline_chunk == 3
+        # overrides win
+        srv2 = cfg.make_gate_server(ek, p, max_batch=9)
+        assert srv2.max_batch == 9 and srv2.pipeline_chunk == 3
+        srv2.stop()
+    finally:
+        srv.stop()

@@ -205,9 +205,33 @@ class TfheSession:
             bits = np.asarray(gates_mod.decrypt_bit(ct, ks.lwe_key))
             return int(sum(int(b) << i for i, b in enumerate(bits)))
 
+    def encrypt_uint8_bits_seeded(self, value: int) -> str:
+        """uint8 -> 8 seeded gate-encoded samples (UID-242 records, 32 B
+        each vs 2,532 B full — the wire-compressed upload format; every
+        uint8 consumer accepts both via the UID sniff in ``_import_bits``)."""
+        ks = self._require_key()
+        with op_timer("encryptUint8BitsSeeded"):
+            from ..core import gates as gates_mod
+            bits = jnp.asarray([(int(value) >> i) & 1 for i in range(8)],
+                               bool)
+            ct = gates_mod.encrypt_bit_seeded(self._next_key(), bits,
+                                              ks.lwe_key, self.params)
+            blob = tfhe_io.pack_seeded_lwe_samples(
+                np.asarray(ct.seed), np.asarray(ct.b),
+                np.asarray(ct.current_variance, np.float64))
+            return tfhe_io.b64encode(blob)
+
     def _import_bits(self, b64_ct: str) -> lwe.LweCiphertext:
-        a, b, v = tfhe_io.unpack_lwe_samples(tfhe_io.b64decode(b64_ct), 8,
-                                             self.params.n)
+        data = tfhe_io.b64decode(b64_ct)
+        uid = int.from_bytes(data[:4], "little") if len(data) >= 4 else -1
+        if uid == tfhe_io.SEEDED_LWE_SAMPLE_UID:
+            seed, b, v = tfhe_io.unpack_seeded_lwe_samples(data, 8)
+            return lwe.lwe_seeded_expand(
+                lwe.SeededLweCiphertext(
+                    seed=jnp.asarray(seed), b=jnp.asarray(b),
+                    current_variance=jnp.asarray(v, jnp.float32)),
+                self.params.n)
+        a, b, v = tfhe_io.unpack_lwe_samples(data, 8, self.params.n)
         # Keep the unpacked per-sample variance (like _import_lwe does) so
         # the tracked noise rail sees the true input noise (r4 ADVICE low).
         return lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
@@ -317,6 +341,11 @@ class Tfhe:
 
     def encryptUint8(self, value: int, key: str = "") -> str:
         return self._s.encrypt_uint8_bits(int(value))
+
+    def encryptUint8Seeded(self, value: int, key: str = "") -> str:
+        """Wire-compressed (seeded-mask) uint8 encryption — decryptUint8 /
+        addUint8 / subtractUint8 accept it interchangeably."""
+        return self._s.encrypt_uint8_bits_seeded(int(value))
 
     def decryptUint8(self, ct: str, key: str = "", token: str = "a.b",
                      jwks: str = "") -> int:

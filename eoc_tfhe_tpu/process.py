@@ -58,7 +58,8 @@ _TFHE_METHODS = ("info", "testJWT", "generateSecretKey", "generatePublicKey",
                  "decryptASCIIString",
                  # bootstrapped 8-bit arithmetic (beyond the reference's
                  # leveled-only ops; real noise-resetting circuits)
-                 "encryptUint8", "decryptUint8", "addUint8", "subtractUint8")
+                 "encryptUint8", "encryptUint8Seeded", "decryptUint8",
+                 "addUint8", "subtractUint8")
 
 
 def _tfhe_bridge(t: Tfhe) -> lua.LuaTable:

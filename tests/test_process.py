@@ -220,3 +220,33 @@ def test_bootstrapped_uint8_via_lua():
     r = _json.loads(p.handle(msg, env))
     assert r["Error"] is None, r["Error"]
     assert r["Output"]["data"]["output"].endswith("diff=42")
+
+
+def test_bootstrapped_uint8_seeded_via_lua():
+    """Wire-compressed (seeded-mask) uint8 blobs interoperate with full
+    ones across the whole Lua surface: a seeded and a plain operand mix in
+    one bootstrapped subtraction (UID sniff in api._import_bits)."""
+    import json as _json
+    from eoc_tfhe_tpu.process import Process
+    p = Process(params=make_test_params(), process_id="u8s")
+    env = _json.dumps({"Process": {"Id": "u8s", "Owner": "F", "Module": "M"}})
+    msg = _json.dumps({
+        "Target": "u8s", "From": "F", "Owner": "F", "Block-Height": "1",
+        "Id": "m", "Module": "M",
+        "Tags": [{"name": "Action", "value": "Eval"}],
+        "Data": """
+            Tfhe.generateSecretKey('h.p', '')
+            local a = Tfhe.encryptUint8Seeded(50, '')
+            local b = Tfhe.encryptUint8(8, '')
+            local d = Tfhe.subtractUint8(a, b, '')
+            local roundtrip = Tfhe.decryptUint8(Tfhe.encryptUint8Seeded(7, ''), '', 'h.p', '')
+            return 'diff=' .. Tfhe.decryptUint8(d, '', 'h.p', '') .. ' rt=' .. roundtrip .. ' len=' .. #a .. '/' .. #b
+        """})
+    r = _json.loads(p.handle(msg, env))
+    assert r["Error"] is None, r["Error"]
+    out = r["Output"]["data"]["output"]
+    assert "diff=42 rt=7" in out
+    # the seeded blob really is the compressed wire format: 8x32 B vs
+    # 8x(12+4n) B records (~2.5x at the tiny test n; ~79x at n=630)
+    la, lb = out.split("len=")[1].split("/")
+    assert int(la) < int(lb)

@@ -121,3 +121,45 @@ def test_select_word_8bit(keyset, ek):
     out = select_word(c, ca, cb, ek, P)
     got = _from_bits(np.asarray(gates.decrypt_bit(out, keyset.lwe_key)))
     np.testing.assert_array_equal(got, np.where(sel, a_vals, b_vals))
+
+
+def test_random_circuit_differential_fuzz(keyset, ek):
+    """Randomized gate-DAG differential test: a seeded random circuit of
+    every bootstrapped kind (2-input set + MUX) plus the linear gates,
+    evaluated homomorphically and on plaintexts, must agree wire-for-wire
+    at every level — composition/noise-reset confidence beyond the per-gate
+    truth tables (each gate output becomes a later gate's input, so any
+    noise-budget violation or phase drift surfaces as a decrypt flip)."""
+    rng = np.random.default_rng(2025)
+    two_in = {
+        "nand": lambda x, y: ~(x & y), "and_": lambda x, y: x & y,
+        "or_": lambda x, y: x | y, "nor": lambda x, y: ~(x | y),
+        "xor_": lambda x, y: x ^ y, "xnor": lambda x, y: ~(x ^ y),
+        "andny": lambda x, y: ~x & y, "andyn": lambda x, y: x & ~y,
+        "orny": lambda x, y: ~x | y, "oryn": lambda x, y: x | ~y,
+    }
+    B = 4          # every wire carries a batch of 4 independent circuits
+    n_wires = 6
+    plain = list(rng.integers(0, 2, (n_wires, B)).astype(bool))
+    enc = [gates.encrypt_bit(jax.random.key(100 + i), jnp.asarray(p),
+                             keyset.lwe_key, P)
+           for i, p in enumerate(plain)]
+
+    for step in range(24):
+        op = rng.choice(list(two_in) + ["mux", "not_", "copy"])
+        i, j, k = rng.integers(0, len(plain), 3)
+        if op == "mux":
+            e = gates.mux(enc[i], enc[j], enc[k], ek, P)
+            p = np.where(plain[i], plain[j], plain[k])
+        elif op == "not_":
+            e, p = gates.not_(enc[i]), ~plain[i]
+        elif op == "copy":
+            e, p = gates.copy(enc[i]), plain[i]
+        else:
+            e = getattr(gates, op)(enc[i], enc[j], ek, P)
+            p = two_in[op](plain[i], plain[j])
+        got = np.asarray(gates.decrypt_bit(e, keyset.lwe_key))
+        np.testing.assert_array_equal(
+            got, p, err_msg=f"step {step}: {op}({i},{j},{k}) diverged")
+        enc.append(e)
+        plain.append(p)

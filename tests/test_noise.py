@@ -134,3 +134,27 @@ def test_rounded_key_noise_accounted(setup):
     var128 = bootstrap.predicted_bootstrap_variance(
         p128, key_round_bits=ctx128.key_round_bits)
     assert (1.0 / 16.0) / var128 ** 0.5 >= 10.0
+
+
+def test_kernel_plan_sigma_margins_both_sets():
+    """The automatic kernel plans keep >= 10 sigma of the 1/16 gate margin
+    at BOTH production sets (worst-case predicted variance incl. the
+    key-rounding term): 128-bit 2x12b-rb8 ~13.4 sigma, 80-bit 3x9b-rb5
+    ~10.4 sigma (r5 — the 80-bit set now runs the fused kernel)."""
+    import math
+    from eoc_tfhe_tpu.ops import ntt
+    from eoc_tfhe_tpu.ops.pallas_ntt_blindrot2 import KERNEL_PRIMES
+    for p in (params_mod.default_128bit_params(),
+              params_mod.default_80bit_params()):
+        tg = p.tgsw_params
+        rb = ntt.choose_rounded_plan(
+            tg.kpl, tg.tlwe_params.N, tg.halfBg, n_steps=p.n,
+            bk_variance=float(tg.tlwe_params.alpha_min) ** 2,
+            primes=KERNEL_PRIMES)
+        assert rb > 0       # a rounded plan exists for both sets
+        var = bootstrap.predicted_bootstrap_variance(p, key_round_bits=rb)
+        sigma = (1.0 / 16.0) / math.sqrt(var)
+        assert sigma >= 10.0, (p, rb, sigma)
+        # and rounding costs at most ~2 sigma vs the exact plan
+        var0 = bootstrap.predicted_bootstrap_variance(p)
+        assert sigma >= (1.0 / 16.0) / math.sqrt(var0) - 2.0

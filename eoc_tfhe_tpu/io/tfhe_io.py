@@ -140,11 +140,27 @@ def read_section(f, expect_title: str | None = None) -> tuple[str, dict]:
         raise ValueError(f"expected section {expect_title}, got {title}")
     props: dict = {}
     while True:
-        line = f.readline().decode().rstrip("\n")
+        raw = f.readline()
+        if not raw:
+            # readline() at EOF returns b"" forever — a truncated blob must
+            # raise, not hang the host (r5 review finding)
+            raise ValueError(f"truncated stream inside section {title}")
+        line = raw.decode().rstrip("\n")
         if line == f"-----END {title}-----":
             return title, props
         k, _, v = line.partition(": ")
         props[k] = v
+
+
+def _read_exact(f, nbytes: int) -> bytes:
+    """f.read(n) with a hard length check: a short read means a truncated
+    blob and must raise, not silently yield a short np.frombuffer array
+    whose failure surfaces later as an opaque shape error (r5 review)."""
+    data = f.read(nbytes)
+    if len(data) != nbytes:
+        raise ValueError(
+            f"truncated stream: wanted {nbytes} bytes, got {len(data)}")
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +231,7 @@ def read_lwe_sample(f, n: int) -> tuple[np.ndarray, int, float]:
     (uid,) = _I32.unpack(f.read(4))
     if uid != LWE_SAMPLE_UID:
         raise ValueError(f"bad LweSample UID {uid}")
-    a = np.frombuffer(f.read(4 * n), "<i4").copy()
+    a = np.frombuffer(_read_exact(f, 4 * n), "<i4").copy()
     (b,) = _I32.unpack(f.read(4))
     (var,) = _F64.unpack(f.read(8))
     return a, b, var
@@ -234,7 +250,7 @@ def read_lwe_key(f, n: int) -> np.ndarray:
     (uid,) = _I32.unpack(f.read(4))
     if uid != LWE_KEY_UID:
         raise ValueError(f"bad LweKey UID {uid}")
-    return np.frombuffer(f.read(4 * n), "<i4").copy()
+    return np.frombuffer(_read_exact(f, 4 * n), "<i4").copy()
 
 
 def write_tlwe_sample(f, polys: np.ndarray, variance: float) -> None:
@@ -248,7 +264,7 @@ def read_tlwe_sample(f, k: int, N: int) -> tuple[np.ndarray, float]:
     (uid,) = _I32.unpack(f.read(4))
     if uid != TLWE_SAMPLE_UID:
         raise ValueError(f"bad TLweSample UID {uid}")
-    polys = np.frombuffer(f.read(4 * (k + 1) * N), "<i4").reshape(k + 1, N).copy()
+    polys = np.frombuffer(_read_exact(f, 4 * (k + 1) * N), "<i4").reshape(k + 1, N).copy()
     (var,) = _F64.unpack(f.read(8))
     return polys, var
 
@@ -262,7 +278,7 @@ def read_tlwe_key(f, k: int, N: int) -> np.ndarray:
     (uid,) = _I32.unpack(f.read(4))
     if uid != TLWE_KEY_UID:
         raise ValueError(f"bad TLweKey UID {uid}")
-    return np.frombuffer(f.read(4 * k * N), "<i4").reshape(k, N).copy()
+    return np.frombuffer(_read_exact(f, 4 * k * N), "<i4").reshape(k, N).copy()
 
 
 def write_tgsw_key(f, key: np.ndarray) -> None:
@@ -274,7 +290,7 @@ def read_tgsw_key(f, k: int, N: int) -> np.ndarray:
     (uid,) = _I32.unpack(f.read(4))
     if uid != TGSW_KEY_UID:
         raise ValueError(f"bad TGswKey UID {uid}")
-    return np.frombuffer(f.read(4 * k * N), "<i4").reshape(k, N).copy()
+    return np.frombuffer(_read_exact(f, 4 * k * N), "<i4").reshape(k, N).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +438,7 @@ def read_keyswitch_key(f, n_out: int):
         raise ValueError(f"bad LweKeySwitchKey UID {uid}")
     (var,) = _F64.unpack(f.read(8))
     B = n_in * t * base * (n_out + 1)
-    rows = np.frombuffer(f.read(4 * B), "<i4").copy()
+    rows = np.frombuffer(_read_exact(f, 4 * B), "<i4").copy()
     (uid2,) = _I32.unpack(f.read(4))
     (var2,) = _F64.unpack(f.read(8))
     if uid2 != KEYSWITCH_KEY_UID or var2 != var:
@@ -451,7 +467,7 @@ def read_bootstrapping_key(f, n: int, params: GateBootstrappingParams):
         raise ValueError(f"bad LweBootstrappingKey UID {uid}")
     (bk_var,) = _F64.unpack(f.read(8))
     m = n * kpl * (k + 1) * N
-    bk = np.frombuffer(f.read(4 * m), "<i4").copy().reshape(n, kpl, k + 1, N)
+    bk = np.frombuffer(_read_exact(f, 4 * m), "<i4").copy().reshape(n, kpl, k + 1, N)
     return bk.astype(np.int32), bk_var, ks, ks_var
 
 

@@ -39,10 +39,16 @@ class LuaError(Exception):
 class LuaTable:
     """A Lua table: hash part + 1-based array behavior for ipairs/#."""
 
-    __slots__ = ("hash",)
+    #: ``_interp`` is a PYTHON-side slot, invisible and unassignable from
+    #: sandboxed Lua: the interpreter reference used by the stdlib memory
+    #: rail must not live as an ordinary Lua global, or a chunk could
+    #: ``__interp__ = nil`` its way out of the allocation limits
+    #: (r5 review finding).
+    __slots__ = ("hash", "_interp")
 
     def __init__(self, items=None):
         self.hash = dict(items or {})
+        self._interp = None
 
     def get(self, k):
         if isinstance(k, float) and k.is_integer():
@@ -969,6 +975,7 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
     + json + crypto + a ``require`` over the host-registered module map."""
     G = LuaTable()
     modules = dict(modules or {})
+    _dcrypto = crypto if crypto is not None else Crypto(0)
 
     def lua_print(*args):
         print_sink("\t".join(lua_tostring(a) for a in args))
@@ -1030,14 +1037,14 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
         return v
 
     def _charge(nchars):
-        interp = G.get("__interp__")
+        interp = G._interp
         if interp is not None:
             interp.charge_str(nchars)
         elif nchars > _MAX_STRING:
             raise LuaError("memory limit exceeded (string too long)")
 
     def lua_pcall(fn, *args):
-        interp = G.get("__interp__")
+        interp = G._interp
         try:
             out = interp.call(fn, list(args))
             return tuple([True] + out)
@@ -1075,7 +1082,7 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
              (sep or "").join([s] * int(n)))
             if n and int(n) > 0 else ""),
         "reverse": lambda s: s[::-1],
-        "byte": lambda s, i=1: ord(s[int(i) - 1]) if s else None,
+        "byte": _lua_byte,
         "char": lambda *a: "".join(chr(int(x)) for x in a),
         # charge the joined result incrementally, not only per-specifier
         # widths: a format string with many specifiers could otherwise
@@ -1097,8 +1104,10 @@ def make_stdlib(print_sink, crypto: Crypto | None = None,
         "sqrt": _math.sqrt,
         "huge": _math.inf,
         "pi": _math.pi,
-        "random": (crypto.random if crypto else Crypto(0).random),
-        "randomseed": (crypto.seed if crypto else Crypto(0).seed),
+        # one SHARED instance when the host passes none — separate fresh
+        # instances would make randomseed a no-op on random (r5 review)
+        "random": _dcrypto.random,
+        "randomseed": _dcrypto.seed,
     }))
 
     def t_insert(t, a, b=None):
@@ -1158,12 +1167,28 @@ _CLASS = {"a": "[A-Za-z]", "A": "[^A-Za-z]", "d": "[0-9]", "D": "[^0-9]",
           "p": r"[\!-/\:-@\[-`\{-~]", "l": "[a-z]", "u": "[A-Z]"}
 
 
+def _lua_byte(s, i=1):
+    """string.byte with Lua index semantics: negative counts from the end
+    (-1 = last char), 0 / out-of-range yields no value (r5 review — the
+    old ord(s[i-1]) mapped -1 to the SECOND-to-last char)."""
+    i = int(i)
+    n = len(s)
+    if i < 0:
+        i = n + i + 1
+    if i < 1 or i > n:
+        return None
+    return ord(s[i - 1])
+
+
 def _pat2re(pat: str) -> str:
-    out, i = [], 0
+    # (?s): Lua's '.' matches ANY character including newline (r5 review)
+    out, i = ["(?s)"], 0
     while i < len(pat):
         c = pat[i]
         if c == "%":
             i += 1
+            if i >= len(pat):
+                raise LuaError("malformed pattern (ends with '%')")
             n = pat[i]
             out.append(_CLASS.get(n, re.escape(n)))
         elif c == "-":
@@ -1189,7 +1214,14 @@ def _pat2re(pat: str) -> str:
                 out.append("".join(cls))
                 i = j
             elif c in "^$*+?.":
-                out.append(c if c in "^$*+?" else ".")
+                # Lua anchors only at the pattern edges; elsewhere ^ and $
+                # are literals (r5 review: 'a^b' must match literally)
+                if c == "^":
+                    out.append("^" if i == 0 else re.escape(c))
+                elif c == "$":
+                    out.append("$" if i == len(pat) - 1 else re.escape(c))
+                else:
+                    out.append(c)
             else:
                 out.append(re.escape(c))
         else:
@@ -1218,12 +1250,44 @@ def _lua_match(s, pat, init=1):
 
 
 def _lua_gsub(s, pat, repl, n=None):
+    # Lua count semantics: n <= 0 replaces NOTHING (Python's count=0 means
+    # unlimited — r5 review found the inversion)
+    if n is not None and int(n) <= 0:
+        return (s, 0)
     count = 0 if n is None else int(n)
-    if isinstance(repl, str):
-        py_repl = re.sub(r"%(\d)", r"\\\1", repl.replace("\\", "\\\\"))
-        out, cnt = re.subn(_pat2re(pat), py_repl, s, count=count)
-    else:
+    if not isinstance(repl, str):
         raise LuaError("gsub with function replacement not supported")
+    compiled = re.compile(_pat2re(pat))
+    # Replacement translation (r5 review): %% -> literal %, %0 -> whole
+    # match, %d -> capture d (the whole match when the pattern has no
+    # captures, Lua's convention); backslashes must be literal.
+    py = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "%":
+            i += 1
+            if i >= len(repl):
+                raise LuaError("invalid use of '%' in replacement string")
+            d = repl[i]
+            if d == "%":
+                py.append("%")
+            elif d.isdigit():
+                if d == "0" or (d == "1" and compiled.groups == 0):
+                    py.append("\\g<0>")
+                else:
+                    py.append(f"\\g<{d}>")
+            else:
+                raise LuaError("invalid use of '%' in replacement string")
+        elif ch == "\\":
+            py.append("\\\\")
+        else:
+            py.append(ch)
+        i += 1
+    try:
+        out, cnt = compiled.subn("".join(py), s, count=count)
+    except re.error as exc:
+        raise LuaError(f"invalid capture in replacement string ({exc})")
     return (out, cnt)
 
 
@@ -1247,7 +1311,7 @@ def _to_lua(v):
 def run(src: str, globals_table: LuaTable):
     """Execute a chunk; returns (return_values_list, interpreter)."""
     interp = Interpreter(globals_table)
-    globals_table.set("__interp__", interp)
+    globals_table._interp = interp
     env = Env()
     try:
         interp.exec_block(parse(src), env)

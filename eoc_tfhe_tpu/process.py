@@ -349,7 +349,7 @@ class Process:
                 if stmts and stmts[-1][0] == "exprstat":
                     stmts[-1] = ("return", [stmts[-1][1]])
             interp = lua.Interpreter(G)
-            G.set("__interp__", interp)
+            G._interp = interp       # hidden slot — not a Lua-visible global
             ret = []
             try:
                 interp.exec_block(block, lua.Env())
@@ -370,7 +370,7 @@ class Process:
             return None
         G = self._lua_globals()
         interp = lua.Interpreter(G)
-        G.set("__interp__", interp)
+        G._interp = interp           # hidden slot — not a Lua-visible global
         msg_t = self._msg_to_lua(msg)
         tags = {t["name"]: t["value"] for t in msg.get("Tags", [])}
         for name, pattern, fn in list(self._lua_handlers):
@@ -438,15 +438,26 @@ class Process:
             return json.dumps({"Output": {"data": {"output": out}},
                                "Messages": self._outbox, "Error": None})
         except Exception as exc:  # deterministic error surface, process survives
+            # DROP the partially-filled outbox: a handler that crashed must
+            # not have its half-completed sends routed as side effects of a
+            # failed message (r5 review finding).
             return json.dumps({"Output": {"data": {"output": ""}},
-                               "Messages": self._outbox,
+                               "Messages": [],
                                "Error": f"{type(exc).__name__}: {exc}"})
 
     # -- replay / recovery --------------------------------------------------
 
     def replay(self) -> "Process":
-        """Re-derive an identical process from this process's message log."""
-        fresh = Process(params=self._params, process_id=self.id)
+        """Re-derive an identical process from this process's message log.
+
+        Carries EVERY constructor input (creation env, model store, virtual
+        FS) — dropping any of them would make the replica diverge from the
+        original wherever a chunk branched on ``Process.env`` or called
+        ``Llama.load`` (r5 review finding), breaking the determinism
+        contract this method exists for."""
+        fresh = Process(params=self._params, process_id=self.id,
+                        process_env=self.process_env,
+                        model_store=self.model_store, vfs=self.vfs)
         for msg_json, env_json in self.log:
             fresh.handle(msg_json, env_json)
         return fresh

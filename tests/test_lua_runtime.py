@@ -332,3 +332,44 @@ def test_format_error_semantics():
     # and both are catchable from Lua with pcall
     vals = _run(G, "local ok, e = pcall(string.format, 'x%'); return ok")
     assert vals == [False]
+
+
+def test_r5_review_semantics_fixes():
+    """Lua-semantics fixes from the r5 targeted review: gsub count/replace
+    escapes, string.byte negative index, pattern '.'/anchor behavior,
+    shared math.random seed, and the rail surviving __interp__ tampering."""
+    G = _fresh_interp()
+    # gsub: n=0 replaces NOTHING (Python count=0 would mean unlimited)
+    assert _run(G, 'return string.gsub("aaa", "a", "b", 0)') == ["aaa", 0]
+    # gsub: %0 whole match, %% literal percent
+    assert _run(G, 'return string.gsub("abc", "b", "[%0]")') == ["a[b]c", 1]
+    assert _run(G, 'return string.gsub("x", "x", "100%%")') == ["100%", 1]
+    # gsub: %1 = whole match when the pattern has no captures
+    assert _run(G, 'return string.gsub("ab", "a", "<%1>")') == ["<a>b", 1]
+    # string.byte: -1 is the LAST char; 0 is no value
+    assert _run(G, 'return string.byte("abc", -1)') == [99]
+    assert _run(G, 'return string.byte("abc", 0)') == [None] or \
+        _run(G, 'return string.byte("abc", 0)') == []
+    # '.' crosses newlines (Lua any-char), mid-pattern ^ $ are literals
+    assert _run(G, 'return string.match("l1\\nl2", "(.*)")') == ["l1\nl2"]
+    assert _run(G, 'return string.find("a^b", "a^b")') == [1, 3]
+    # trailing % is a Lua error, not a host IndexError
+    with pytest.raises(lua.LuaError, match="malformed pattern"):
+        _run(G, 'return string.find("x", "x%")')
+    # math.randomseed affects math.random (shared default instance)
+    G2 = _fresh_interp()
+    a = _run(G2, 'math.randomseed(42); return math.random(1, 10^9)')
+    G3 = _fresh_interp()
+    b = _run(G3, 'math.randomseed(42); return math.random(1, 10^9)')
+    G4 = _fresh_interp()
+    c = _run(G4, 'math.randomseed(43); return math.random(1, 10^9)')
+    assert a == b and a != c
+    # the memory rail survives Lua tampering with __interp__ (hidden slot)
+    G5 = _fresh_interp()
+    with pytest.raises(lua.LuaError, match="memory limit"):
+        _run(G5, '''
+            __interp__ = nil
+            local t = {}
+            for i = 1, 200 do t[i] = string.rep("x", 7000000) end
+            return #t
+        ''')

@@ -43,13 +43,22 @@ class TfheSession:
     """Explicit-key API over the reference wrapper's operation set."""
 
     def __init__(self, params: GateBootstrappingParams | None = None,
-                 seed: int = 0, config: "FrameworkConfig | None" = None):
+                 seed: int | None = None,
+                 config: "FrameworkConfig | None" = None):
         from ..config import DEFAULT_CONFIG
         self.config = config or DEFAULT_CONFIG
         self.config.apply_profiling()
         if params is None:
             params = self.config.params()
         self.params = params
+        if seed is None:
+            # fresh OS entropy by default: a fixed default seed would make
+            # every default-constructed session derive the IDENTICAL secret
+            # key (r5 review).  Deterministic callers (AO processes, tests)
+            # pass an explicit seed — replay derives it from chain
+            # coordinates (process._seed_from_env).
+            import os as _os
+            seed = int.from_bytes(_os.urandom(8), "little") >> 1
         self._rng = jax.random.key(seed)
         self.keyset: SecretKeySet | None = None
         self._gate_api = None
@@ -243,7 +252,9 @@ class TfheSession:
         api = self.gate_api()
         ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
         fn = {"add": circ.ripple_carry_add, "sub": circ.ripple_borrow_sub}[op]
-        out, _flag = fn(ca, cb, api.eval_key, api.params)
+        # honor config.rotation_impl like every other gate call (r5 review)
+        out, _flag = fn(ca, cb, api.eval_key, api.params,
+                        rotation_impl=self.config.rotation_impl)
         blob = tfhe_io.pack_lwe_samples(
             np.asarray(out.a), np.asarray(out.b),
             np.asarray(out.current_variance, np.float64))
@@ -314,9 +325,12 @@ class Tfhe:
     # (eoc-tfhe-bindings.c:69-77).
     encryptInteger_dummy = encryptInteger
 
-    def decryptInteger(self, ct: str, key: str = "", token: str = "",
+    def decryptInteger(self, ct: str, key: str = "", token: str = "a.b",
                        jwks: str = "") -> int:
-        if token and not self._jwt_ok(token, jwks):
+        # validate UNCONDITIONALLY like the reference (eoc-tfhe-run.cpp:395)
+        # — the old `if token` guard let an empty token bypass the gate
+        # entirely (r5 review)
+        if not self._jwt_ok(token, jwks):
             return -1
         return self._s.decrypt_integer(ct)
 
@@ -325,8 +339,8 @@ class Tfhe:
         return self._s.encrypt_ascii_string(text if length is None else text[:length])
 
     def decryptASCIIString(self, ct: str, length: int, key: str = "",
-                           token: str = "", jwks: str = "") -> str | None:
-        if token and not self._jwt_ok(token, jwks):
+                           token: str = "a.b", jwks: str = "") -> str | None:
+        if not self._jwt_ok(token, jwks):   # unconditional (r5 review)
             return None
         return self._s.decrypt_ascii_string(ct, length)
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 
 from ..core import gates
-from ..core.lwe import LweCiphertext, lwe_index
+from ..core.lwe import LweCiphertext, lwe_index, lwe_stack
 from ..core.bootstrap import EvalKey
 from ..core.params import GateBootstrappingParams
 
@@ -52,7 +52,6 @@ def ripple_carry_add(a_bits: LweCiphertext, b_bits: LweCiphertext,
         ai, bi = lwe_index(a_bits, i), lwe_index(b_bits, i)
         s, carry = full_adder(ai, bi, carry, ek, params, rotation_impl)
         sums.append(s)
-    from ..core.lwe import lwe_stack
     return lwe_stack(sums), carry
 
 
@@ -79,7 +78,6 @@ def ripple_borrow_sub(a_bits: LweCiphertext, b_bits: LweCiphertext,
         d = gates.xor_(t, borrow, ek, params, rotation_impl)
         borrow = gates.mux(t, bi, borrow, ek, params, rotation_impl)
         diffs.append(d)
-    from ..core.lwe import lwe_stack
     return lwe_stack(diffs), borrow
 
 
@@ -121,5 +119,4 @@ def select_word(c: LweCiphertext, a_bits: LweCiphertext,
     nbits = a_bits.b.shape[0]
     outs = [gates.mux(c, lwe_index(a_bits, i), lwe_index(b_bits, i), ek,
                       params, rotation_impl) for i in range(nbits)]
-    from ..core.lwe import lwe_stack
     return lwe_stack(outs)

@@ -119,6 +119,13 @@ def load_pytree(path: str, tree_like, mesh: Mesh | None = None):
         shape = tuple(e["shape"])
         dtype = np.dtype(e["dtype"])
         spec = tuple(tuple(x) if x else None for x in (e["spec"] or []))
+        if e["shards"] > 1 and (mesh is None or not spec):
+            # a multi-shard tensor cannot be read as shard0-only — that
+            # yields 1/shards of the elements and an opaque reshape error
+            # far from the cause (r5 review)
+            raise ValueError(
+                f"tensor t{i} was saved as {e['shards']} shards; pass the "
+                f"mesh it was sharded over to load_pytree")
         if mesh is None or not spec or e["shards"] == 1 and not any(spec):
             data = np.fromfile(os.path.join(path, f"t{i}.shard0.bin"),
                                dtype=dtype).reshape(shape)
@@ -128,6 +135,11 @@ def load_pytree(path: str, tree_like, mesh: Mesh | None = None):
             (s if len(s) > 1 else s[0]) if s else None for s in spec]))
         shard_map_ = {tuple((sl.start, sl.stop) for sl in sl_t): k
                      for k, sl_t in _shard_grid(shape, spec, mesh)}
+        if len(shard_map_) != e["shards"]:
+            raise ValueError(
+                f"mesh mismatch for tensor t{i}: manifest has "
+                f"{e['shards']} shards, current mesh would read "
+                f"{len(shard_map_)}")
 
         def cb(index, *, _shape=shape, _dtype=dtype, _spec=spec, _i=i,
                _smap=shard_map_):

@@ -50,15 +50,19 @@ class Store(Protocol):
 
 class LocalStore:
     """Content-addressed directory store: ``<root>/<id>`` holds the payload,
-    ``<root>/<id>.json`` the tags. Ids are sha256 of the payload — stable,
-    replayable, and collision-checked like a permaweb content id."""
+    ``<root>/<id>.json`` the tags. Ids are sha256 of payload AND tags —
+    like a real Arweave tx id, which covers the tags: hashing the payload
+    alone made identical chunks collide, and a later put overwrote the
+    earlier item's ``Next`` tag, corrupting the chain into a self-loop
+    (r5 review; e.g. an all-zero model whose chunks repeat)."""
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
 
     def put(self, data: bytes, tags: dict) -> str:
-        item_id = hashlib.sha256(data).hexdigest()
+        tag_bytes = json.dumps(tags, sort_keys=True).encode()
+        item_id = hashlib.sha256(data + b"\x00" + tag_bytes).hexdigest()
         with open(os.path.join(self.root, item_id), "wb") as f:
             f.write(data)
         with open(os.path.join(self.root, item_id + ".json"), "w") as f:
@@ -118,7 +122,12 @@ def fetch_model(store: Store, head_id: str,
     tokenizer = b""
     for _ in range(max_items):
         if item_id is None:
-            break
+            # a well-formed chain ALWAYS terminates at the Tokenizer item
+            # (publish_model uploads it first, Next-less); a model chunk
+            # without Next means a truncated/corrupt chain — reject it
+            # rather than silently returning an empty tokenizer (r5 review)
+            raise ValueError(
+                "malformed chain: ended without a Tokenizer item")
         tags = store.tags(item_id)
         data = store.get(item_id)
         if tags.get("Type") == TYPE_TOKENIZER:

@@ -389,10 +389,19 @@ def mod_matmul(x: jax.Array, W8: jax.Array, p: int, xmax: int,
     """
     assert xmax <= 32639
     Wlo, Whi = W8[0], W8[1]
-    if xmax <= 127:
+    K = x.shape[-1]
+    # 1-limb path domain: |P0 + 256*P1| <= K*xmax*127*257; must stay inside
+    # balanced_reduce's 2^30.5 (r5 review: at F=K=1024, xmax=127 the old
+    # audit silently wrapped int32 — unreachable with shipped N=1024 params
+    # but latent for larger-N contexts).  Out-of-domain inputs fall through
+    # to the 2-limb split, which is valid for any xmax here.
+    if xmax <= 127 and K * xmax * 127 * 257 < 2 ** 30.5:
         x8 = x.astype(_I8)
         z = _dot8(x8, Wlo) + (_dot8(x8, Whi) << 8)
         return balanced_reduce(z, p, strict)
+    # 2-limb path domain: Pmid sum <= 2*K*127^2 must fit the reduce too
+    assert 2 * K * 127 * 127 < 2 ** 30.5, (
+        f"mod_matmul contraction width K={K} exceeds the int8-limb domain")
     xlo, xhi = split_i8(x)
     P00 = _dot8(xlo, Wlo)
     Pmid = balanced_reduce(_dot8(xlo, Whi) + _dot8(xhi, Wlo), p, strict=True)

@@ -55,6 +55,11 @@ GATE_FNS = {name: getattr(gates, name)
 GATE_FNS3 = {"mux": gates.mux}
 
 
+def _circuit_fns():
+    from .circuits import adder
+    return {"add_u8": adder.ripple_carry_add, "sub_u8": adder.ripple_borrow_sub}
+
+
 def _bucket(n: int, max_batch: int) -> int:
     """Smallest power-of-two >= n (capped) — bounds compile variants."""
     b = 1
@@ -102,7 +107,7 @@ class GateServer:
         # Queues keyed (gate kind, seeded?) — a flush batch must be
         # homogeneous in input representation to stack into one program.
         self._queues: dict[tuple[str, bool], list[_Request]] = {
-            (k, s): [] for k in (*GATE_FNS, *GATE_FNS3)
+            (k, s): [] for k in (*GATE_FNS, *GATE_FNS3, *_circuit_fns())
             for s in (False, True)}
         # One jitted program per gate kind (jax re-specializes per bucket
         # shape); eval key passes as an argument — never baked into the HLO.
@@ -146,6 +151,31 @@ class GateServer:
             if self._stop:
                 raise RuntimeError("server stopped")
             self._queues[kind, seeded].append(_Request(ca, cb, fut, cc=cc))
+        self._wake.set()
+        return fut
+
+    def submit_uint8(self, op: str, ca_bits, cb_bits) -> Future:
+        """Queue a whole bootstrapped 8-bit operation (``"add"``/``"sub"``,
+        mod 256).  Operands: ``LweCiphertext`` or ``SeededLweCiphertext``
+        with batch shape (8,) — one gate-encoded bit per slot, LSB first
+        (the ``api.tfhe`` uint8 wire layout).  Requests batch across
+        CLIENTS: one flush runs the ripple circuit once for the whole
+        stacked batch (5 gates/bit — circuits/adder.py), so per-request
+        cost approaches the batched gate rate."""
+        if op not in ("add", "sub"):
+            raise ValueError(f"unknown uint8 op {op!r}; 'add' or 'sub'")
+        seeded = isinstance(ca_bits, SeededLweCiphertext)
+        if seeded != isinstance(cb_bits, SeededLweCiphertext):
+            raise ValueError("operands must both be seeded or both plain")
+        if tuple(np.shape(ca_bits.b)) != (8,) or \
+                tuple(np.shape(cb_bits.b)) != (8,):
+            raise ValueError("submit_uint8 takes (8,)-batch bit ciphertexts")
+        fut: Future = Future()
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("server stopped")
+            self._queues[f"{op}_u8", seeded].append(
+                _Request(ca_bits, cb_bits, fut))
         self._wake.set()
         return fut
 
@@ -212,7 +242,9 @@ class GateServer:
         gate = self._compiled.get(qkey)
         if gate is None:
             kind, seeded = qkey
-            base = GATE_FNS3.get(kind) or GATE_FNS[kind]
+            circuits = _circuit_fns()
+            is_circuit = kind in circuits
+            base = circuits.get(kind) or GATE_FNS3.get(kind) or GATE_FNS[kind]
             nops = 3 if kind in GATE_FNS3 else 2
             n = self.params.n
 
@@ -224,10 +256,23 @@ class GateServer:
                     m, b, v = flat_and_ek[3 * o: 3 * o + 3]
                     if seeded:
                         # masks re-derived on-device from the 16 B seeds
-                        cts.append(lwe_seeded_expand(
-                            SeededLweCiphertext(m, b, v), n))
+                        ct = lwe_seeded_expand(SeededLweCiphertext(m, b, v), n)
                     else:
-                        cts.append(LweCiphertext(m, b, v))
+                        ct = LweCiphertext(m, b, v)
+                    if is_circuit:
+                        # stacked (Bc, 8, ...) -> circuit layout (8, Bc, ...)
+                        ct = LweCiphertext(
+                            a=jnp.swapaxes(ct.a, 0, 1),
+                            b=jnp.swapaxes(ct.b, 0, 1),
+                            current_variance=jnp.swapaxes(
+                                ct.current_variance, 0, 1))
+                    cts.append(ct)
+                if is_circuit:
+                    out, _flag = base(*cts, ek, self.params,
+                                      self.rotation_impl)
+                    return (jnp.swapaxes(out.a, 0, 1),
+                            jnp.swapaxes(out.b, 0, 1),
+                            jnp.swapaxes(out.current_variance, 0, 1))
                 out = base(*cts, ek, self.params, self.rotation_impl)
                 return out.a, out.b, out.current_variance
 

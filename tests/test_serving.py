@@ -134,6 +134,49 @@ def test_mux_three_operand_serving(setup):
     srv2.stop()
 
 
+def test_uint8_circuit_serving(setup):
+    """Whole bootstrapped 8-bit ops through the server: requests batch
+    across clients and one flush runs the ripple circuit once for the
+    stacked batch; seeded and plain uploads both work."""
+    from eoc_tfhe_tpu.core.lwe import SeededLweCiphertext
+    ks, ek = setup
+    vals_a = [50, 200, 7]
+    vals_b = [8, 57, 9]
+
+    def enc_u8(v, seed, seeded=False):
+        bits = np.array([(v >> i) & 1 for i in range(8)], bool)
+        fn = gates.encrypt_bit_seeded if seeded else gates.encrypt_bit
+        return fn(jax.random.key(seed), jnp.asarray(bits), ks.lwe_key, P)
+
+    with GateServer(ek, P, max_batch=8, max_delay_s=0.3) as srv:
+        futs = [srv.submit_uint8("add", enc_u8(a, 60 + i), enc_u8(b, 70 + i))
+                for i, (a, b) in enumerate(zip(vals_a, vals_b))]
+        futs += [srv.submit_uint8("sub", enc_u8(a, 80 + i, True),
+                                  enc_u8(b, 90 + i, True))
+                 for i, (a, b) in enumerate(zip(vals_a, vals_b))]
+        srv.flush()
+        outs = [f.result(timeout=300) for f in futs]
+
+    def dec_u8(ct):
+        bits = np.asarray(gates.decrypt_bit(ct, ks.lwe_key))
+        return int(sum(int(b) << i for i, b in enumerate(bits)))
+
+    got = [dec_u8(o) for o in outs]
+    want = [(a + b) % 256 for a, b in zip(vals_a, vals_b)] + \
+           [(a - b) % 256 for a, b in zip(vals_a, vals_b)]
+    assert got == want, (got, want)
+    # cross-client batching actually happened: 2 flushes (one per kind/rep)
+    assert srv.stats["flushes"] <= 2
+    # shape validation
+    srv2 = GateServer(ek, P)
+    with pytest.raises(ValueError, match=r"\(8,\)-batch"):
+        srv2.submit_uint8("add", jax.tree.map(lambda x: x[0], enc_u8(1, 99)),
+                          jax.tree.map(lambda x: x[0], enc_u8(2, 98)))
+    with pytest.raises(ValueError, match="unknown uint8 op"):
+        srv2.submit_uint8("mul", enc_u8(1, 97), enc_u8(2, 96))
+    srv2.stop()
+
+
 def test_errors_and_validation(setup):
     ks, ek = setup
     ca = _enc(ks, np.array([1], bool), 6)

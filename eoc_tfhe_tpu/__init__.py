@@ -25,7 +25,8 @@ from .core.params import (GateBootstrappingParams, LweParams, TLweParams,
                           TGswParams, KeySwitchParams,
                           default_128bit_params, default_80bit_params,
                           default_gate_bootstrapping_params, test_params)
-from .core.lwe import LweCiphertext, LweKey
+from .core.lwe import (LweCiphertext, LweKey, SeededLweCiphertext,
+                       lwe_seeded_expand)
 from .core.tlwe import TLweCiphertext, TLweKey
 from .core.tgsw import TGswCiphertext
 from .core.keys import (BootstrappingKey, CloudKeySet, KeySwitchKey, SecretKeySet,
@@ -36,5 +37,8 @@ from .core.bootstrap import prepare_eval_key_ntt, prepare_eval_key_fused
 from .api.tfhe import Tfhe, TfheSession
 from .config import FrameworkConfig, DEFAULT_CONFIG
 from .serving import GateServer
+from .io.virtualfs import VirtualFS, LocalBackend, Admissibility, InProcessGateway
+from .models.ao_llama import LlamaBackend
+from .process import Process, Router
 
 __version__ = "0.1.0"

@@ -45,9 +45,11 @@ def main() -> None:
     iters = int(os.environ.get("EOC_BENCH_ITERS", "6"))
     # ntt (CRT-NTT, default) | fused (Pallas Toeplitz) | rows (XLA scan)
     form = os.environ.get("EOC_BENCH_FORM", "ntt")
-    # form=ntt: EOC_BENCH_ROUNDED=1 (default) uses the v4 rounded-key plan
-    # (2x12-bit limbs, rb=8 at 128-bit — key-rounding noise accounted,
-    # decrypt-exact); =0 the exact-mod-2^32 3x11-bit plan.
+    # form=ntt: EOC_BENCH_ROUNDED=1 (default) requests a rounded-key plan,
+    # which since the r5 retraction resolves to the EXACT plan at every
+    # shipped parameter set (the coherent noise model demotes sub-exact
+    # plans — ROOFLINE.md "ROUND-5 RETRACTION"); the knob remains for
+    # parameter sets where a safe rounded plan exists.
     rounded = os.environ.get("EOC_BENCH_ROUNDED", "1") not in ("0", "false")
     # Stored key limbs for form=fused: 3 = fast rounded-key form
     # (noise-analyzed, still decrypt-exact on gate outputs), 4 = exact.

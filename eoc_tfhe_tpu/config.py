@@ -69,9 +69,9 @@ class FrameworkConfig:
     serving_max_batch: int = 2048
     # ...or this many seconds after the oldest queued request.
     serving_max_delay_s: float = 0.005
-    # Chunked-flush pipeline granularity (v5e sweep: 256 optimal —
+    # Chunked-flush pipeline granularity (v5e sweep: 128 optimal —
     # serving.GateServer.pipeline_chunk).
-    serving_pipeline_chunk: int = 256
+    serving_pipeline_chunk: int = 128
 
     def __post_init__(self) -> None:
         if self.eval_key_form not in EVAL_KEY_FORM_CHOICES:

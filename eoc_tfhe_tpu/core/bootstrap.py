@@ -452,11 +452,11 @@ def bootstrap_woKS(mu: jax.Array, ct: LweCiphertext, ek: EvalKey,
         stored = ek.bk_compact.shape[1] // ((k + 1) * Jp)
         drop = polymul.LIMBS - stored
         if drop:
-            # Worst-case digit bound halfBg^2 (matching the inherent term's
-            # convention above, not the average-case (2*halfBg)^2/12 — the
-            # rounding error is fixed per key, so it is correlated across
-            # bootstraps and the conservative bound is the right one).
-            round_var = (params.n * tg.kpl * N
+            # Worst-case digit bound halfBg^2, with the COHERENT ~n^2
+            # accumulation of a fixed-per-key rounding error (r5 finding —
+            # see blind_rotate_output_variance; the same structure as the
+            # NTT rounded plans).
+            round_var = (float(params.n) ** 2 * tg.kpl * N
                          * float(tg.halfBg ** 2)
                          * (float(1 << (16 * drop)) / 12.0) / float(2 ** 64))
             var = var + jnp.float32(round_var)
@@ -481,12 +481,14 @@ def blind_rotate_output_variance(params: GateBootstrappingParams,
         ~(1 + k*N*E[s]) * eps_mean within a step (and decoheres across
         steps through the rotations), dominating the incoherent part.
         Only steps with s_i = 1 contribute (E[s] = 1/2).
-      * ``key_round_bits > 0`` (v4 rounded-key plan): the key is rounded to
+      * ``key_round_bits > 0`` (rounded-key plans): the key is rounded to
         its top 32-rb bits before the NTT limb split (ops/ntt.round_key) —
-        error uniform in +-2^(rb-1) int32 units per key coefficient, fixed
-        per key, convolved with the gadget digits over the n steps; worst-
-        case digit convention (halfBg^2).  The reference's analog is its
-        f64 FFT rounding.
+        error uniform in +-2^(rb-1) int32 units per key coefficient, FIXED
+        per key.  The digits it convolves with repeat (rotated) across the
+        n steps, so the contributions accumulate COHERENTLY: variance ~n^2
+        (r5 on-chip measurement — see ops/ntt.choose_rounded_plan), not
+        the r4 incoherent ~n model that under-counted by ~600x in variance
+        at the 128-bit set.
 
     Shared by :func:`bootstrap_woKS` and the sharded gate paths
     (parallel/sharded.py) so the variance rail cannot drift between them.
@@ -503,7 +505,8 @@ def blind_rotate_output_variance(params: GateBootstrappingParams,
                 + jnp.float32(dec_step))
     var = jnp.float32(params.n) * step_var
     if key_round_bits:
-        round_var = (params.n * tg.kpl * N * float(tg.halfBg ** 2)
+        round_var = (float(params.n) ** 2 * tg.kpl * N
+                     * float(tg.halfBg ** 2)
                      * (float(1 << (2 * key_round_bits)) / 12.0)
                      / float(2 ** 64))
         var = var + jnp.float32(round_var)
@@ -532,7 +535,8 @@ def predicted_bootstrap_variance(params: GateBootstrappingParams,
     d2 = (2.0 * tg.halfBg) ** 2 / 12.0
     var = params.n * (tg.kpl * tl.N * d2 * bk_variance + dec_step)
     if key_round_bits:
-        var += (params.n * tg.kpl * tl.N * float(tg.halfBg ** 2)
+        # coherent-accumulation model (~n^2) — see blind_rotate_output_variance
+        var += (float(params.n) ** 2 * tg.kpl * tl.N * float(tg.halfBg ** 2)
                 * (float(1 << (2 * key_round_bits)) / 12.0) / float(2 ** 64))
     if with_keyswitch:
         n_in = tl.k * tl.N

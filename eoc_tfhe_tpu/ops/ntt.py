@@ -189,19 +189,30 @@ def choose_rounded_plan(J: int, N: int, halfBg: int, n_steps: int,
                         bk_variance: float,
                         primes: tuple[int, ...] = DEFAULT_PRIMES) -> int:
     """Key-rounding ``rb`` for the fewest-limb plan whose rounding noise is
-    acceptable: the per-bootstrap key-rounding variance (worst-case digit
-    convention, see ``core/bootstrap.bootstrap_woKS``) must not exceed 2x
-    the inherent bk-noise term.  Tries limbs=2 first (the v4 fast plan —
-    accepted at the 128-bit set: rb=8, 2x12-bit limbs), then 3, then 4;
-    returns rb=0 (exact) only if every rounded plan is too noisy, which
-    cannot happen since rb=0 is always a valid member of some plan."""
+    acceptable under the COHERENT accumulation model, or 0 (exact).
+
+    r5 on-chip finding (ROOFLINE.md "rounded plan retraction"): the key
+    rounding error is FIXED per key, and the gadget digits it convolves
+    with are near-identical rotated testvector patterns at every one of the
+    n steps — so the per-step contributions add essentially COHERENTLY
+    (variance ~n^2, not the independent-digit model's ~n).  Measured at the
+    128-bit set: output-phase std 2.98e-2 for the old rb=8 2-limb plan vs
+    3.3e-3 exact — ~25x the incoherent sigma, exactly the fully-coherent
+    factor sqrt(n=630); single gates ran at ~4.2 sigma and gate-on-
+    bootstrap-output circuits flipped bits at ~3e-3/gate.  The acceptance
+    test here therefore uses the n^2 model (conservative vs the 1.8x-lower
+    measurement) and, at the production sets, rejects every sub-exact plan
+    — the exact plan IS the fastest correct plan (the 2-limb capacity
+    bound caps limb bits at 12, forcing rb >= 8; see ROOFLINE.md)."""
     inherent = n_steps * J * N * ((2.0 * halfBg) ** 2 / 12.0) * bk_variance
     for limbs in (2, 3, 4):
         try:
             rb = choose_round_bits(J, N, halfBg, primes, limbs)
         except ValueError:
             continue
-        round_var = (n_steps * J * N * float(halfBg ** 2)
+        if rb == 0:
+            return 0
+        round_var = (float(n_steps) ** 2 * J * N * float(halfBg ** 2)
                      * (float(1 << (2 * rb)) / 12.0) / float(2 ** 64))
         if round_var <= 2.0 * inherent:
             return rb

@@ -91,7 +91,7 @@ class GateServer:
 
     def __init__(self, ek: EvalKey, params: GateBootstrappingParams,
                  max_batch: int = 1024, max_delay_s: float = 0.005,
-                 rotation_impl: str = "auto", pipeline_chunk: int = 256):
+                 rotation_impl: str = "auto", pipeline_chunk: int = 128):
         self.ek = ek
         self.params = params
         self.max_batch = max_batch
@@ -99,10 +99,10 @@ class GateServer:
         self.rotation_impl = rotation_impl
         #: Batches larger than this execute as a pipeline of chunks with
         #: async D2H so result download overlaps the next chunk's compute.
-        #: Measured on v5e at 2,048 seeded requests (r5 sweep): 128 ->
-        #: 5,226 gates/s, 256 -> 5,187, 512 -> 4,717, 1024 -> 4,410,
-        #: 2048 (no overlap) -> 3,748; default 256 (one VMEM batch tile of
-        #: headroom over the kernel's 128-lane minimum).
+        #: Measured on v5e at 2,048 seeded requests (r5 sweeps, exact
+        #: plan): 64 -> 2,289 gates/s (half the kernel's 128-lane tile
+        #: wasted), 128 -> 4,161, 256 -> 4,073, 2048 (no overlap) -> 3,799;
+        #: default 128 = the kernel tile.
         self.pipeline_chunk = pipeline_chunk
         # Queues keyed (gate kind, seeded?) — a flush batch must be
         # homogeneous in input representation to stack into one program.

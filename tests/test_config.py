@@ -38,9 +38,12 @@ def test_eval_key_form_dispatch(keyset):
             assert ek.form in expect
         else:
             assert ek.form == expect
+    # "ntt_rounded" means "rounded IF the coherent noise model accepts it";
+    # since the r5 retraction it falls back to the exact plan at every
+    # shipped parameter set (ROOFLINE.md "rounded plan retraction")
     ek_r = FrameworkConfig(param_set="test", eval_key_form="ntt_rounded") \
         .prepare_eval_key(keyset.cloud, p)
-    assert ek_r.ntt_ctx.key_round_bits > 0
+    assert ek_r.ntt_ctx.key_round_bits == 0
     ek_e = FrameworkConfig(param_set="test", eval_key_form="ntt") \
         .prepare_eval_key(keyset.cloud, p)
     assert ek_e.ntt_ctx.key_round_bits == 0

@@ -97,15 +97,26 @@ def test_gate_budget_rail_passes_default_sets():
 
 
 def test_rounded_key_noise_accounted(setup):
-    """v4 rounded-key plan (VERDICT r3 item 1): the measured phase error with
-    the rounded eval key stays within the predicted budget (inherent +
-    key-rounding term), and the rounding term itself keeps the full-1/16
-    gate margin at >= 10 sigma at the production 128-bit set."""
+    """Empirical validation of the COHERENT rounding-noise model (r5): a
+    FORCED rounded-key plan's measured phase error stays within the
+    predicted budget.  (The automatic plan selection now rejects rounded
+    plans everywhere the coherent model says they are unsafe — including
+    these toy params — so the test builds the rounded context explicitly.)"""
+    import jax.numpy as _jnp
+    from eoc_tfhe_tpu.ops import ntt as ntt_mod
     p, ks, _ = setup
-    ek = bootstrap.prepare_eval_key_ntt(ks.cloud, p, kernel=False,
-                                        rounded=True)
-    rb = ek.ntt_ctx.key_round_bits
+    tg = p.tgsw_params
+    rb = ntt_mod.choose_round_bits(tg.kpl, tg.tlwe_params.N, tg.halfBg,
+                                   ntt_mod.DEFAULT_PRIMES, limbs=2)
     assert rb > 0
+    ctx = ntt_mod.make_context(N=tg.tlwe_params.N, J=tg.kpl,
+                               halfBg=tg.halfBg, key_round_bits=rb)
+    ek = bootstrap.prepare_eval_key(ks.cloud)
+    key_np = ntt_mod.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
+                                        variance=float(ek.bk_variance))
+    ek.bk_ntt = key_np
+    ek.ntt_ctx = ctx
+    ek.form = "ntt_scan"
     B = 10_240
     rng = np.random.default_rng(11)
     bits_a = jnp.asarray(rng.integers(0, 2, B).astype(bool))
@@ -127,20 +138,24 @@ def test_rounded_key_noise_accounted(setup):
     # at these parameters, where it's chosen comparable to inherent noise)
     assert predicted > bootstrap.predicted_bootstrap_variance(p)
 
-    # production 128-bit set: >= 10 sigma of 1/16 gate margin with rounding
+    # production 128-bit set: rounded=True now auto-falls-back to the
+    # EXACT plan (coherent model, r5) and keeps >= 10 sigma of 1/16 margin
     p128 = params_mod.default_128bit_params()
     from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as pnb2
     ctx128 = pnb2.kernel_context_for_params(p128, rounded=True)
-    var128 = bootstrap.predicted_bootstrap_variance(
-        p128, key_round_bits=ctx128.key_round_bits)
+    assert ctx128.key_round_bits == 0
+    var128 = bootstrap.predicted_bootstrap_variance(p128)
     assert (1.0 / 16.0) / var128 ** 0.5 >= 10.0
 
 
 def test_kernel_plan_sigma_margins_both_sets():
-    """The automatic kernel plans keep >= 10 sigma of the 1/16 gate margin
-    at BOTH production sets (worst-case predicted variance incl. the
-    key-rounding term): 128-bit 2x12b-rb8 ~13.4 sigma, 80-bit 3x9b-rb5
-    ~10.4 sigma (r5 — the 80-bit set now runs the fused kernel)."""
+    """Plan selection under the COHERENT rounding-noise model (r5 on-chip
+    finding, ROOFLINE.md "rounded plan retraction"): at BOTH production
+    sets every sub-exact plan is rejected — the fixed-per-key rounding
+    error accumulates ~coherently over the n steps (measured 128-bit:
+    output std 2.98e-2 for the old rb=8 plan vs 3.3e-3 exact; circuits
+    flipped bits at ~3e-3/gate) — and the automatic EXACT plans keep
+    >= 10 sigma of the 1/16 gate margin."""
     import math
     from eoc_tfhe_tpu.ops import ntt
     from eoc_tfhe_tpu.ops.pallas_ntt_blindrot2 import KERNEL_PRIMES
@@ -151,10 +166,12 @@ def test_kernel_plan_sigma_margins_both_sets():
             tg.kpl, tg.tlwe_params.N, tg.halfBg, n_steps=p.n,
             bk_variance=float(tg.tlwe_params.alpha_min) ** 2,
             primes=KERNEL_PRIMES)
-        assert rb > 0       # a rounded plan exists for both sets
-        var = bootstrap.predicted_bootstrap_variance(p, key_round_bits=rb)
+        assert rb == 0, (p, rb)   # coherent model demotes every rounded plan
+        var = bootstrap.predicted_bootstrap_variance(p)
         sigma = (1.0 / 16.0) / math.sqrt(var)
-        assert sigma >= 10.0, (p, rb, sigma)
-        # and rounding costs at most ~2 sigma vs the exact plan
-        var0 = bootstrap.predicted_bootstrap_variance(p)
-        assert sigma >= (1.0 / 16.0) / math.sqrt(var0) - 2.0
+        assert sigma >= 10.0, (p, sigma)
+    # and the coherent model itself predicts the old 128-bit rb=8 plan's
+    # flakiness: its sigma margin collapses far below 10
+    p128 = params_mod.default_128bit_params()
+    var_r = bootstrap.predicted_bootstrap_variance(p128, key_round_bits=8)
+    assert (1.0 / 16.0) / math.sqrt(var_r) < 3.0

@@ -89,31 +89,58 @@ def test_bootstrap_woks_kernel_form_matches(keyset):
 # ---------------------------------------------------------------------------
 
 def test_rounded_plan_selection():
-    """128-bit set: 2x12-bit limbs at rb=8; 80-bit set falls back to 3 limbs
-    (a 2-limb plan there would need rb=12 — rounding noise >> inherent)."""
+    """Plan selection under the r5 COHERENT rounding-noise model: the
+    capacity chooser still finds the sub-exact splits (2x12b rb=8 at
+    128-bit), but the noise-gated selector now DEMOTES them — rounded=True
+    resolves to the exact plans at both production sets (the r4 2-limb
+    plan measured ~10x its accounted sigma on chip; ROOFLINE.md
+    "rounded plan retraction")."""
     from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as pnb2
     p128 = params_mod.default_128bit_params()
+    # capacity-only: the (demoted) 2-limb plan needs rb=8
+    assert ntt.choose_round_bits(p128.tgsw_params.kpl, 1024,
+                                 p128.tgsw_params.halfBg,
+                                 pnb2.KERNEL_PRIMES, limbs=2) == 8
     ctx = pnb2.kernel_context_for_params(p128, rounded=True)
-    assert (ctx.key_limbs, ctx.key_limb_bits, ctx.key_round_bits) == (2, 12, 8)
+    assert (ctx.key_limbs, ctx.key_limb_bits, ctx.key_round_bits) == (3, 11, 0)
     p80 = params_mod.default_80bit_params()
     ctx80 = ntt.context_for_params(p80, rounded=True)
-    assert ctx80.key_limbs == 3 and ctx80.key_round_bits > 0
-    # rounding noise stays under 2x the inherent bk-noise term (the plan
-    # chooser's acceptance rule)
-    for prm, c in ((p128, ctx), (p80, ctx80)):
-        inherent = bootstrap.predicted_bootstrap_variance(
-            prm, with_keyswitch=False)
-        with_round = bootstrap.predicted_bootstrap_variance(
-            prm, with_keyswitch=False, key_round_bits=c.key_round_bits)
-        assert with_round - inherent <= 2.0 * inherent
+    assert ctx80.key_round_bits == 0
+    # and the coherent model's reason: the demoted plan's rounding noise
+    # dwarfs the inherent term
+    inherent = bootstrap.predicted_bootstrap_variance(
+        p128, with_keyswitch=False)
+    with_round = bootstrap.predicted_bootstrap_variance(
+        p128, with_keyswitch=False, key_round_bits=8)
+    assert with_round - inherent > 2.0 * inherent
+
+
+def _forced_rounded_scan_ek(keyset, p, primes=None, limbs=2):
+    """Rounded-plan eval key built EXPLICITLY (the automatic selector now
+    demotes rounded plans, r5): capacity-only rb, scan form."""
+    primes = primes or ntt.DEFAULT_PRIMES
+    tg = p.tgsw_params
+    rb = ntt.choose_round_bits(tg.kpl, tg.tlwe_params.N, tg.halfBg, primes,
+                               limbs=limbs)
+    assert rb > 0
+    ctx = ntt.make_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg,
+                           primes=primes, key_round_bits=rb)
+    ek = bootstrap.prepare_eval_key(keyset.cloud)
+    ek.bk_ntt = ntt.prepare_key_ntt_np(np.asarray(ek.bk_rows), ctx,
+                                       variance=float(ek.bk_variance))
+    ek.ntt_ctx = ctx
+    ek.form = "ntt_scan"
+    return ek
 
 
 def test_rounded_kernel_bit_exact_vs_scan(keyset):
+    """The rounded-plan KERNEL math stays bit-exact vs the scan path
+    (forced context — the plan itself is demoted from automatic selection
+    but the arithmetic is still exercised)."""
     p = toy_params()
     tl = p.tgsw_params.tlwe_params
     N, k, n, B = tl.N, tl.k, p.n, 8
-    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
-                                        rounded=True)
+    ek = _forced_rounded_scan_ek(keyset, p)
     ctx = ek.ntt_ctx
     assert ctx.key_round_bits > 0 and ctx.key_limbs == 2
 
@@ -136,8 +163,10 @@ def test_rounded_external_product_matches_rounded_key_convolution(keyset):
     accounts for (bootstrap_woKS)."""
     p = toy_params()
     tg = p.tgsw_params
-    ctx = ntt.context_for_params(p, rounded=True)
-    rb = ctx.key_round_bits
+    rb = ntt.choose_round_bits(tg.kpl, tg.tlwe_params.N, tg.halfBg,
+                               ntt.DEFAULT_PRIMES, limbs=2)
+    ctx = ntt.make_context(N=tg.tlwe_params.N, J=tg.kpl, halfBg=tg.halfBg,
+                           key_round_bits=rb)
     r = np.random.default_rng(7)
     J, U, N = tg.kpl, tg.tlwe_params.k + 1, tg.tlwe_params.N
     bk = r.integers(-2**31, 2**31, (1, J, U, N), dtype=np.int64).astype(np.int32)
@@ -169,8 +198,7 @@ def test_rounded_gate_decrypts_correctly(keyset):
     b = jnp.asarray(r.integers(0, 2, B).astype(bool))
     ca = gates.encrypt_bit(jax.random.key(3), a, keyset.lwe_key, p)
     cb = gates.encrypt_bit(jax.random.key(4), b, keyset.lwe_key, p)
-    ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
-                                        rounded=True)
+    ek = _forced_rounded_scan_ek(keyset, p)
     out = gates.nand(ca, cb, ek, p)
     got = gates.decrypt_bit(out, keyset.lwe_key)
     np.testing.assert_array_equal(np.asarray(got),
@@ -259,29 +287,36 @@ def test_expanded_kernel_key_bit_exact(keyset):
     (pointwise runs over 2K rows, no quadrant lanes); results stay bit-exact
     vs the scan path, and the derived scan form still works (its row slice
     is the A block)."""
-    import os
+    from eoc_tfhe_tpu.ops import pallas_ntt_blindrot2 as p2
     p = toy_params()
-    os.environ["EOC_NTT_EXPAND_KEY"] = "1"       # off-default (slower on v5e)
-    try:
-        ek = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=True,
-                                            rounded=True, small_batch=True)
-    finally:
-        os.environ.pop("EOC_NTT_EXPAND_KEY")
-    ctx = ek.ntt_ctx
+    tg = p.tgsw_params
+    tl = tg.tlwe_params
+    # forced 2-limb rounded KERNEL context (the expand path only exists for
+    # 2-limb plans, which the automatic selector now demotes — r5)
+    rb = ntt.choose_round_bits(tg.kpl, tl.N, tg.halfBg, p2.KERNEL_PRIMES,
+                               limbs=2)
+    ctx = p2.kernel_context(N=tl.N, J=tg.kpl, halfBg=tg.halfBg,
+                            key_round_bits=rb)
     assert ctx.key_limbs == 2
+    bk_rows = np.asarray(keyset.cloud.bk.bk)
+    scan_key = ntt.prepare_key_ntt_np(bk_rows, ctx)
+    T8k = p2.pad_kernel_key(pnb.prepare_kernel_key(scan_key, ctx))
+    T8x = np.asarray(p2.expand_kernel_key_256(jnp.asarray(T8k), ctx, p))
     K = ctx.J * ctx.R
-    assert ek.bk_ntt_kernel.shape[3] == 2 * K    # expanded rows [A; B]
-    assert ek.bk_ntt is not None                  # scan form derived too
+    assert T8x.shape[3] == 2 * K                  # expanded rows [A; B]
 
-    ek_scan = bootstrap.prepare_eval_key_ntt(keyset.cloud, p, kernel=False,
-                                             rounded=True)
     r = np.random.default_rng(17)
     B = 8
-    a = jnp.asarray(r.integers(0, 2, B).astype(bool))
-    b = jnp.asarray(r.integers(0, 2, B).astype(bool))
-    ca = gates.encrypt_bit(jax.random.key(9), a, keyset.lwe_key, p)
-    cb = gates.encrypt_bit(jax.random.key(10), b, keyset.lwe_key, p)
-    out = gates.nand(ca, cb, ek, p)
-    ref = gates.nand(ca, cb, ek_scan, p)
-    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
-    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    acc0 = jnp.asarray(r.integers(-2**31, 2**31, (B, tl.k + 1, tl.N),
+                                  dtype=np.int64).astype(np.int32))
+    bara = jnp.asarray(r.integers(0, 2 * tl.N, (p.n, B), dtype=np.int64)
+                       .astype(np.int32))
+    ref = np.asarray(ntt.blind_rotate_ntt(acc0, bara, scan_key, p, ctx))
+    out = np.asarray(p2.blind_rotate_ntt_pallas2(
+        acc0, bara, jnp.asarray(T8x), ctx, p, block_b=B, interpret=True,
+        expanded=True))
+    np.testing.assert_array_equal(ref, out)
+    # the A block of the expanded key is the original rows, so the derived
+    # scan form keeps working
+    back = pnb.kernel_key_to_scan(jnp.asarray(T8x), ctx, U=tl.k + 1)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(scan_key.T8))

@@ -51,10 +51,11 @@ def main() -> None:
     # plans — ROOFLINE.md "ROUND-5 RETRACTION"); the knob remains for
     # parameter sets where a safe rounded plan exists.
     rounded = os.environ.get("EOC_BENCH_ROUNDED", "1") not in ("0", "false")
-    # Stored key limbs for form=fused: 3 = fast rounded-key form
-    # (noise-analyzed, still decrypt-exact on gate outputs), 4 = exact.
-    # form=ntt is always exact mod 2^32.
-    limbs = int(os.environ.get("EOC_BENCH_LIMBS", "3"))
+    # Stored key limbs for form=fused: 4 = exact (default).  3 = the
+    # Toeplitz rounded-key form — DEMOTED with the other rounded plans
+    # (r5 retraction: fixed-per-key rounding error accumulates coherently);
+    # kept only as an explicit opt-in for measurement.
+    limbs = int(os.environ.get("EOC_BENCH_LIMBS", "4"))
 
     # Keygen with a disk cache (VERDICT r1 item 6): the keyset round-trips
     # byte-exactly through the tfhe_io codec, so cache the exported blob.

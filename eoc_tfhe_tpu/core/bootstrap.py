@@ -112,10 +112,13 @@ def prepare_eval_key(cloud: CloudKeySet) -> EvalKey:
 def prepare_eval_key_fused(cloud: CloudKeySet, limbs: int | None = None) -> EvalKey:
     """Evaluation key with the compact limb key for the fused Pallas kernel.
 
-    ``limbs=3`` selects the fast rounded-key form (the key is rounded to a
-    multiple of 2^8; see ``ops/pallas_blindrot.prepare_compact_bk`` for the
-    noise analysis) — ~LIMBS/limbs of the hot-matmul flops for noise still
-    3-4x under the inherent bootstrap noise. Default (None/4) is exact.
+    Default (None/4) is exact.  ``limbs=3`` selects the Toeplitz
+    rounded-key form — DEMOTED by the r5 retraction along with the NTT
+    rounded plans (the fixed-per-key rounding error accumulates
+    ~coherently over the n blind-rotate steps, ~10x the old incoherent
+    model's sigma at production step counts; ROOFLINE.md "ROUND-5
+    RETRACTION").  The coherent variance rail now accounts it honestly;
+    use sub-exact limb counts only where that rail's margin allows.
     """
     from ..ops import pallas_blindrot, polymul
     ek = prepare_eval_key(cloud)

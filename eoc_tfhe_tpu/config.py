@@ -31,8 +31,10 @@ from .core.params import (GateBootstrappingParams, default_128bit_params,
 #: Valid ``eval_key_form`` values -> how the evaluation key is prepared.
 #: "ntt"         exact CRT-NTT (3x11-bit limbs at 128-bit), fused Pallas
 #:               kernel layout on TPU, XLA-scan layout elsewhere.
-#: "ntt_rounded" the v4 fast plan (2x12-bit limbs on the top-24-bit rounded
-#:               key at 128-bit; accounted noise, decrypt-exact).
+#: "ntt_rounded" requests a rounded-key plan IF the coherent noise model
+#:               accepts one; since the r5 retraction this resolves to the
+#:               exact plan at every shipped parameter set (ROOFLINE.md
+#:               "ROUND-5 RETRACTION").
 #: "fused"       Pallas Toeplitz compact-limb form.
 #: "rows"        raw TGSW rows, per-step Toeplitz construction (low memory).
 EVAL_KEY_FORM_CHOICES = ("ntt", "ntt_rounded", "fused", "rows")

@@ -329,8 +329,13 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
                      else _winv_cat_i8(ctx))
     # int16 transients for the lazy residues between the dots: |r| <=
     # p/2+92 <= 32348 fits int16, halving the VMEM traffic of the dhat/chat
-    # stages (measured -1.4 us/step-tile round 4; EOC_NTT_I16=0 reverts)
-    i16 = os.environ.get("EOC_NTT_I16", "1") == "1"
+    # stages.  PLAN-DEPENDENT like the pre-scaled inverse: it won -1.4
+    # us/step-tile on the (since-retracted) 2-limb plan but measured a
+    # ~1.6% REGRESSION on the 3-limb exact plan (r5: 4,846/s i16-off vs
+    # 4,770 on; Mosaic schedules the M=48 casts worse).  EOC_NTT_I16
+    # overrides either way.
+    i16_env = os.environ.get("EOC_NTT_I16")
+    i16 = (i16_env == "1") if i16_env is not None else ctx.key_limbs == 2
 
     def kernel(bara_ref, acc0_ref, T_ref, wf_ref, wi_ref, out_ref, acc):
         # Grid is (n, n_btiles) with the STEP on the outer axis: the 2 MB key

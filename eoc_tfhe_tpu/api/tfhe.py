@@ -261,7 +261,8 @@ class TfheSession:
         return tfhe_io.b64encode(blob)
 
     def add_uint8_bits(self, b64_a: str, b64_b: str) -> str:
-        """Bootstrapped 8-bit addition (mod 256) — 5 gates/bit, noise reset."""
+        """Bootstrapped 8-bit addition (mod 256) — one MAJ bootstrap per bit
+        + a batched refresh (circuits/adder.py fast mode), noise reset."""
         with op_timer("addUint8Bits"):
             return self._circuit_binop("add", b64_a, b64_b)
 

@@ -93,7 +93,7 @@ def constant(value: jax.Array, params: GateBootstrappingParams) -> LweCiphertext
 
 @functools.lru_cache(maxsize=None)
 def check_noise_budget(params: GateBootstrappingParams,
-                       sa: int = 2, sb: int = 2) -> float:
+                       sa: int = 2, sb: int = 2, sc: int = 0) -> float:
     """Static noise-budget rail at gate boundaries (VERDICT r2 item 6).
 
     Worst case for a two-input gate: each input is itself a worst-case gate
@@ -105,7 +105,7 @@ def check_noise_budget(params: GateBootstrappingParams,
     Returns the predicted input stdev.
     """
     per_input = predicted_bootstrap_variance(params)
-    stdev = float(np.sqrt((sa * sa + sb * sb) * per_input))
+    stdev = float(np.sqrt((sa * sa + sb * sb + sc * sc) * per_input))
     budget = float(params.in_out_params.alpha_max)
     # Hard rails: each input ciphertext's own variance must respect
     # max_stdev^2, and the combined linear input may not exceed twice the
@@ -201,3 +201,32 @@ def mux(c, a, b, ek, params, rotation_impl="auto"):
                            current_variance=u1.current_variance + u2.current_variance)
     return keyswitch_apply(summed, ek.ks, t=params.ks.t, basebit=params.ks.basebit,
                            prepared=ek.ks_prepared)
+
+
+def maj(ca, cb, cc, ek, params, rotation_impl="auto"):
+    """MAJ(a, b, c) = bootstrap((0, 0) + ca + cb + cc) — 3-input majority.
+
+    The phase of a + b + c on the ±1/8 encoding is (2t-3)/8 for t ones,
+    i.e. {-3/8, -1/8, 1/8, 3/8}; its SIGN is the majority, so the standard
+    sign test vector evaluates it in one bootstrap.  The (1,1,1) linear
+    combination has LOWER input stdev (sqrt(3)·sigma) than XOR's (2,2)
+    (sqrt(8)·sigma), so this gate is safer than the shipped two-input set.
+    No upstream analog (boot-gates.cpp stops at two inputs + MUX); this is
+    the primitive behind the one-bootstrap full adder (circuits/adder.py).
+    """
+    check_noise_budget(params, 1, 1, 1)
+    temp = lwe_add(lwe_add(ca, cb), cc)
+    return bootstrap(jnp.int32(_1S8), temp, ek, params, rotation_impl)
+
+
+def refresh(ct, ek, params, rotation_impl="auto"):
+    """Noise refresh: bootstrap(mu=1/8, ct) — re-encrypts sign(phase).
+
+    A coefficient-1 COPY bootstrap: recovers the boolean (sign of the
+    phase) at the fresh bootstrap+keyswitch output noise level.  Used to
+    reset the accumulated variance of linearly-combined ciphertexts (the
+    fast adder's sum bits); safe whenever the input phase stdev keeps the
+    1/8 decision margin (the input's tracked current_variance is the rail).
+    """
+    check_noise_budget(params, 1, 0)
+    return bootstrap(jnp.int32(_1S8), ct, ek, params, rotation_impl)

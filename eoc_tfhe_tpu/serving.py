@@ -160,7 +160,8 @@ class GateServer:
         with batch shape (8,) — one gate-encoded bit per slot, LSB first
         (the ``api.tfhe`` uint8 wire layout).  Requests batch across
         CLIENTS: one flush runs the ripple circuit once for the whole
-        stacked batch (5 gates/bit — circuits/adder.py), so per-request
+        stacked batch (fast mode: one MAJ bootstrap/bit + one batched
+        refresh — circuits/adder.py), so per-request
         cost approaches the batched gate rate."""
         if op not in ("add", "sub"):
             raise ValueError(f"unknown uint8 op {op!r}; 'add' or 'sub'")

@@ -146,11 +146,14 @@ def test_random_circuit_differential_fuzz(keyset, ek):
            for i, p in enumerate(plain)]
 
     for step in range(24):
-        op = rng.choice(list(two_in) + ["mux", "not_", "copy"])
+        op = rng.choice(list(two_in) + ["mux", "maj", "not_", "copy"])
         i, j, k = rng.integers(0, len(plain), 3)
         if op == "mux":
             e = gates.mux(enc[i], enc[j], enc[k], ek, P)
             p = np.where(plain[i], plain[j], plain[k])
+        elif op == "maj":
+            e = gates.maj(enc[i], enc[j], enc[k], ek, P)
+            p = (plain[i].astype(int) + plain[j] + plain[k]) >= 2
         elif op == "not_":
             e, p = gates.not_(enc[i]), ~plain[i]
         elif op == "copy":
@@ -163,3 +166,76 @@ def test_random_circuit_differential_fuzz(keyset, ek):
             got, p, err_msg=f"step {step}: {op}({i},{j},{k}) diverged")
         enc.append(e)
         plain.append(p)
+
+
+def test_maj_truth_table(keyset, ek):
+    """3-input majority gate over all 8 input combinations, batched."""
+    combos = np.array([[a, b, c] for a in (0, 1) for b in (0, 1)
+                       for c in (0, 1)], bool)
+    ca = gates.encrypt_bit(jax.random.key(61), jnp.asarray(combos[:, 0]),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(62), jnp.asarray(combos[:, 1]),
+                          keyset.lwe_key, P)
+    cc = gates.encrypt_bit(jax.random.key(63), jnp.asarray(combos[:, 2]),
+                          keyset.lwe_key, P)
+    got = gates.decrypt_bit(gates.maj(ca, cb, cc, ek, P), keyset.lwe_key)
+    np.testing.assert_array_equal(got, combos.sum(1) >= 2)
+
+
+@pytest.mark.parametrize("op", ["add", "sub"])
+def test_fast_modes_agree_with_classic(keyset, ek, op):
+    """fast / raw / classic ripple modes decrypt to identical words and
+    carries on random inputs (the carry-save identity is exact)."""
+    from eoc_tfhe_tpu.circuits.adder import ripple_borrow_sub
+    rng = np.random.default_rng(97)
+    a_vals = rng.integers(0, 256, 8)
+    b_vals = rng.integers(0, 256, 8)
+    ca = gates.encrypt_bit(jax.random.key(64), jnp.asarray(_bits(a_vals, 8)),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(65), jnp.asarray(_bits(b_vals, 8)),
+                          keyset.lwe_key, P)
+    fn = ripple_carry_add if op == "add" else ripple_borrow_sub
+    want = (a_vals + b_vals) % 256 if op == "add" else (a_vals - b_vals) % 256
+    want_flag = (a_vals + b_vals) >= 256 if op == "add" else a_vals < b_vals
+    for mode in ("fast", "raw", "classic"):
+        s, flag = fn(ca, cb, ek, P, mode=mode)
+        np.testing.assert_array_equal(
+            _from_bits(gates.decrypt_bit(s, keyset.lwe_key)), want,
+            err_msg=f"{op} mode={mode}")
+        np.testing.assert_array_equal(
+            gates.decrypt_bit(flag, keyset.lwe_key), want_flag,
+            err_msg=f"{op} mode={mode} flag")
+
+
+def test_fast_adder_variance_rails(keyset, ek):
+    """The tracked noise rails are exact for the fast adder:
+
+    * raw-mode sum bits carry the LINEAR variance (inputs + 4x the MAJ
+      output — strictly more than a fresh bootstrap output);
+    * fast-mode (refreshed) sum bits land at exactly the fresh
+      bootstrap+keyswitch output variance, same as the classic path.
+    """
+    rng = np.random.default_rng(11)
+    a_vals = rng.integers(0, 256, 4)
+    b_vals = rng.integers(0, 256, 4)
+    ca = gates.encrypt_bit(jax.random.key(66), jnp.asarray(_bits(a_vals, 8)),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(67), jnp.asarray(_bits(b_vals, 8)),
+                          keyset.lwe_key, P)
+    s_raw, cy = ripple_carry_add(ca, cb, ek, P, mode="raw")
+    s_fast, _ = ripple_carry_add(ca, cb, ek, P, mode="fast")
+    s_classic, _ = ripple_carry_add(ca, cb, ek, P, mode="classic")
+    v_raw = np.asarray(s_raw.current_variance)
+    v_fast = np.asarray(s_fast.current_variance)
+    v_classic = np.asarray(s_classic.current_variance)
+    v_cy = np.asarray(cy.current_variance)
+    # the MAJ carry is a fresh bootstrap output: same variance as any gate
+    np.testing.assert_allclose(v_cy, v_classic[0], rtol=1e-6)
+    # refreshed sums == fresh outputs; raw sums strictly above
+    np.testing.assert_allclose(v_fast, v_classic, rtol=1e-6)
+    assert (v_raw > v_fast).all()
+    # raw bit i>0: var(a)+var(b)+var(carry=fresh)+4*var(maj output)
+    va = np.asarray(ca.current_variance)[1:]
+    vb = np.asarray(cb.current_variance)[1:]
+    np.testing.assert_allclose(v_raw[1:], va + vb + 5.0 * v_cy[None, :],
+                               rtol=1e-6)

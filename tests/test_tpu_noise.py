@@ -75,10 +75,11 @@ def test_output_phase_error_within_model_128bit():
         np.asarray(gates.decrypt_bit(out, ks.lwe_key)), want)
 
 
-def test_circuit_chain_correct_on_chip():
+@pytest.mark.parametrize("mode", ["fast", "classic"])
+def test_circuit_chain_correct_on_chip(mode):
     """Gates consuming BOOTSTRAP OUTPUTS (the pattern that broke under the
-    retracted plan: xor-on-mux carry chains) decrypt correctly at scale on
-    the real chip."""
+    retracted plan: xor-on-mux carry chains; since r5 also the default
+    MAJ-chain fast adder) decrypt correctly at scale on the real chip."""
     params = default_128bit_params()
     ks = _keyset(params)
     ek = bootstrap.prepare_eval_key_ntt(ks.cloud, params)
@@ -93,8 +94,8 @@ def test_circuit_chain_correct_on_chip():
                            ks.lwe_key, params)
     cb = gates.encrypt_bit(jax.random.key(5), jnp.asarray(bits_b),
                            ks.lwe_key, params)
-    s, _ = jax.jit(lambda x, y, e: adder.ripple_carry_add(x, y, e, params))(
-        ca, cb, ek)
+    s, _ = jax.jit(lambda x, y, e: adder.ripple_carry_add(
+        x, y, e, params, mode=mode))(ca, cb, ek)
     bits = np.asarray(gates.decrypt_bit(s, ks.lwe_key))
     got = np.array([sum(int(bits[i, j]) << i for i in range(8))
                     for j in range(B)])

@@ -251,7 +251,8 @@ class TfheSession:
         from ..circuits import adder as circ
         api = self.gate_api()
         ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
-        fn = {"add": circ.ripple_carry_add, "sub": circ.ripple_borrow_sub}[op]
+        fn = {"add": circ.ripple_carry_add, "sub": circ.ripple_borrow_sub,
+              "mul": circ.ripple_mul}[op]
         # honor config.rotation_impl like every other gate call (r5 review)
         out, _flag = fn(ca, cb, api.eval_key, api.params,
                         rotation_impl=self.config.rotation_impl)
@@ -271,6 +272,13 @@ class TfheSession:
         Lua API aliases to addition (tfhe.lua:41-43), done for real."""
         with op_timer("subtractUint8Bits"):
             return self._circuit_binop("sub", b64_a, b64_b)
+
+    def multiply_uint8_bits(self, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped 8-bit multiplication (mod 256) — array multiplier
+        over the fast-adder machinery (circuits/adder.ripple_mul); no
+        reference analog (its wrapper stops at leveled add/sub)."""
+        with op_timer("multiplyUint8Bits"):
+            return self._circuit_binop("mul", b64_a, b64_b)
 
 
 class Tfhe:
@@ -373,3 +381,6 @@ class Tfhe:
 
     def subtractUint8(self, c1: str, c2: str, key: str = "") -> str:
         return self._s.subtract_uint8_bits(c1, c2)
+
+    def multiplyUint8(self, c1: str, c2: str, key: str = "") -> str:
+        return self._s.multiply_uint8_bits(c1, c2)

@@ -57,7 +57,8 @@ GATE_FNS3 = {"mux": gates.mux}
 
 def _circuit_fns():
     from .circuits import adder
-    return {"add_u8": adder.ripple_carry_add, "sub_u8": adder.ripple_borrow_sub}
+    return {"add_u8": adder.ripple_carry_add, "sub_u8": adder.ripple_borrow_sub,
+            "mul_u8": adder.ripple_mul}
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -163,8 +164,8 @@ class GateServer:
         stacked batch (fast mode: one MAJ bootstrap/bit + one batched
         refresh — circuits/adder.py), so per-request
         cost approaches the batched gate rate."""
-        if op not in ("add", "sub"):
-            raise ValueError(f"unknown uint8 op {op!r}; 'add' or 'sub'")
+        if op not in ("add", "sub", "mul"):
+            raise ValueError(f"unknown uint8 op {op!r}; 'add', 'sub' or 'mul'")
         seeded = isinstance(ca_bits, SeededLweCiphertext)
         if seeded != isinstance(cb_bits, SeededLweCiphertext):
             raise ValueError("operands must both be seeded or both plain")

@@ -121,3 +121,6 @@ def test_bootstrapped_uint8_arithmetic_api():
     c100 = s.encrypt_uint8_bits(100)
     assert s.decrypt_uint8_bits(s.add_uint8_bits(c200, c100)) == 44
     assert s.decrypt_uint8_bits(s.subtract_uint8_bits(c100, c200)) == 156
+    # bootstrapped multiplication (no reference analog at all)
+    assert s.decrypt_uint8_bits(s.multiply_uint8_bits(ca, cb)) == (50 * 8) % 256
+    assert s.decrypt_uint8_bits(s.multiply_uint8_bits(c200, c100)) == (200 * 100) % 256

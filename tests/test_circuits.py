@@ -239,3 +239,41 @@ def test_fast_adder_variance_rails(keyset, ek):
     vb = np.asarray(cb.current_variance)[1:]
     np.testing.assert_allclose(v_raw[1:], va + vb + 5.0 * v_cy[None, :],
                                rtol=1e-6)
+
+
+def test_half_adder_fast(keyset, ek):
+    """Half adder in one AND bootstrap: sum is exactly linear."""
+    combos = np.array([[a, b] for a in (0, 1) for b in (0, 1)], bool)
+    ca = gates.encrypt_bit(jax.random.key(70), jnp.asarray(combos[:, 0]),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(71), jnp.asarray(combos[:, 1]),
+                          keyset.lwe_key, P)
+    from eoc_tfhe_tpu.circuits.adder import half_adder_fast
+    s, c = half_adder_fast(ca, cb, ek, P)
+    np.testing.assert_array_equal(gates.decrypt_bit(s, keyset.lwe_key),
+                                  combos[:, 0] ^ combos[:, 1])
+    np.testing.assert_array_equal(gates.decrypt_bit(c, keyset.lwe_key),
+                                  combos[:, 0] & combos[:, 1])
+
+
+def test_ripple_mul_8bit(keyset, ek):
+    """Bootstrapped 8x8 multiplier (mod 256) vs plaintext on random values,
+    including edge cases 0, 1, 255."""
+    from eoc_tfhe_tpu.circuits.adder import ripple_mul
+    rng = np.random.default_rng(31)
+    a_vals = np.concatenate([[0, 1, 255, 255], rng.integers(0, 256, 4)])
+    b_vals = np.concatenate([[7, 255, 255, 0], rng.integers(0, 256, 4)])
+    ca = gates.encrypt_bit(jax.random.key(72), jnp.asarray(_bits(a_vals, 8)),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(73), jnp.asarray(_bits(b_vals, 8)),
+                          keyset.lwe_key, P)
+    p_bits, flag = ripple_mul(ca, cb, ek, P)
+    assert flag is None
+    np.testing.assert_array_equal(
+        _from_bits(gates.decrypt_bit(p_bits, keyset.lwe_key)),
+        (a_vals * b_vals) % 256)
+    # every output bit is a fresh (refreshed) bootstrap output
+    v = np.asarray(p_bits.current_variance)
+    s_classic, _ = ripple_carry_add(ca, cb, ek, P, mode="classic")
+    np.testing.assert_allclose(v, np.asarray(s_classic.current_variance),
+                               rtol=1e-6)

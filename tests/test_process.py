@@ -215,11 +215,13 @@ def test_bootstrapped_uint8_via_lua():
             local a = Tfhe.encryptUint8(50, '')
             local b = Tfhe.encryptUint8(8, '')
             local d = Tfhe.subtractUint8(a, b, '')
+            local m = Tfhe.multiplyUint8(a, b, '')
             return 'diff=' .. Tfhe.decryptUint8(d, '', 'h.p', '')
+                .. ' prod=' .. Tfhe.decryptUint8(m, '', 'h.p', '')
         """})
     r = _json.loads(p.handle(msg, env))
     assert r["Error"] is None, r["Error"]
-    assert r["Output"]["data"]["output"].endswith("diff=42")
+    assert r["Output"]["data"]["output"].endswith("diff=42 prod=144")
 
 
 def test_bootstrapped_uint8_seeded_via_lua():

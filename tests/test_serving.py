@@ -154,6 +154,8 @@ def test_uint8_circuit_serving(setup):
         futs += [srv.submit_uint8("sub", enc_u8(a, 80 + i, True),
                                   enc_u8(b, 90 + i, True))
                  for i, (a, b) in enumerate(zip(vals_a, vals_b))]
+        futs += [srv.submit_uint8("mul", enc_u8(a, 110 + i), enc_u8(b, 120 + i))
+                 for i, (a, b) in enumerate(zip(vals_a, vals_b))]
         srv.flush()
         outs = [f.result(timeout=300) for f in futs]
 
@@ -163,17 +165,18 @@ def test_uint8_circuit_serving(setup):
 
     got = [dec_u8(o) for o in outs]
     want = [(a + b) % 256 for a, b in zip(vals_a, vals_b)] + \
-           [(a - b) % 256 for a, b in zip(vals_a, vals_b)]
+           [(a - b) % 256 for a, b in zip(vals_a, vals_b)] + \
+           [(a * b) % 256 for a, b in zip(vals_a, vals_b)]
     assert got == want, (got, want)
-    # cross-client batching actually happened: 2 flushes (one per kind/rep)
-    assert srv.stats["flushes"] <= 2
+    # cross-client batching actually happened: one flush per kind/rep
+    assert srv.stats["flushes"] <= 3
     # shape validation
     srv2 = GateServer(ek, P)
     with pytest.raises(ValueError, match=r"\(8,\)-batch"):
         srv2.submit_uint8("add", jax.tree.map(lambda x: x[0], enc_u8(1, 99)),
                           jax.tree.map(lambda x: x[0], enc_u8(2, 98)))
     with pytest.raises(ValueError, match="unknown uint8 op"):
-        srv2.submit_uint8("mul", enc_u8(1, 97), enc_u8(2, 96))
+        srv2.submit_uint8("div", enc_u8(1, 97), enc_u8(2, 96))
     srv2.stop()
 
 

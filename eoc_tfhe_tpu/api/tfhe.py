@@ -280,6 +280,62 @@ class TfheSession:
         with op_timer("multiplyUint8Bits"):
             return self._circuit_binop("mul", b64_a, b64_b)
 
+    def _pack_bit_as_u8(self, bit_ct) -> str:
+        """Pack a single bit ciphertext as a uint8 blob (value 0/1): the
+        bit in slot 0, trivial-false pads above — interoperable with every
+        uint8 op and decryptUint8."""
+        from ..core import gates as gates_mod
+        from ..core.lwe import lwe_stack
+        pad = gates_mod.constant(
+            jnp.zeros(bit_ct.b.shape, bool), self.params)
+        word = lwe_stack([bit_ct] + [pad] * 7)
+        blob = tfhe_io.pack_lwe_samples(
+            np.asarray(word.a), np.asarray(word.b),
+            np.asarray(word.current_variance, np.float64))
+        return tfhe_io.b64encode(blob)
+
+    def less_than_uint8_bits(self, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped unsigned comparison a < b: returns an encrypted
+        uint8 0/1 (circuits/adder.compare_lt — one MAJ bootstrap/bit)."""
+        self._require_key()
+        from ..circuits import adder as circ
+        api = self.gate_api()
+        with op_timer("lessThanUint8Bits"):
+            ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
+            lt = circ.compare_lt(ca, cb, api.eval_key, api.params,
+                                 rotation_impl=self.config.rotation_impl)
+            return self._pack_bit_as_u8(lt)
+
+    def equals_uint8_bits(self, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped equality a == b: encrypted uint8 0/1
+        (circuits/adder.equals — XNOR tree + AND reduction)."""
+        self._require_key()
+        from ..circuits import adder as circ
+        api = self.gate_api()
+        with op_timer("equalsUint8Bits"):
+            ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
+            eq = circ.equals(ca, cb, api.eval_key, api.params,
+                             rotation_impl=self.config.rotation_impl)
+            return self._pack_bit_as_u8(eq)
+
+    def select_uint8_bits(self, b64_c: str, b64_a: str, b64_b: str) -> str:
+        """Bootstrapped select: bit 0 of c chooses a (1) or b (0) per-bit
+        via MUX (circuits/adder.select_word)."""
+        self._require_key()
+        from ..circuits import adder as circ
+        from ..core.lwe import lwe_index
+        api = self.gate_api()
+        with op_timer("selectUint8Bits"):
+            cc = self._import_bits(b64_c)
+            ca, cb = self._import_bits(b64_a), self._import_bits(b64_b)
+            out = circ.select_word(lwe_index(cc, 0), ca, cb, api.eval_key,
+                                   api.params,
+                                   rotation_impl=self.config.rotation_impl)
+            blob = tfhe_io.pack_lwe_samples(
+                np.asarray(out.a), np.asarray(out.b),
+                np.asarray(out.current_variance, np.float64))
+            return tfhe_io.b64encode(blob)
+
 
 class Tfhe:
     """Reference-shaped facade: the ``Tfhe.*`` Lua surface (tfhe.lua:4-53).
@@ -384,3 +440,15 @@ class Tfhe:
 
     def multiplyUint8(self, c1: str, c2: str, key: str = "") -> str:
         return self._s.multiply_uint8_bits(c1, c2)
+
+    def lessThanUint8(self, c1: str, c2: str, key: str = "") -> str:
+        """Encrypted (a < b) as a uint8 0/1 ciphertext."""
+        return self._s.less_than_uint8_bits(c1, c2)
+
+    def equalsUint8(self, c1: str, c2: str, key: str = "") -> str:
+        """Encrypted (a == b) as a uint8 0/1 ciphertext."""
+        return self._s.equals_uint8_bits(c1, c2)
+
+    def selectUint8(self, c: str, c1: str, c2: str, key: str = "") -> str:
+        """Encrypted select: bit 0 of c picks c1 (1) or c2 (0)."""
+        return self._s.select_uint8_bits(c, c1, c2)

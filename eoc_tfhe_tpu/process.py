@@ -59,7 +59,8 @@ _TFHE_METHODS = ("info", "testJWT", "generateSecretKey", "generatePublicKey",
                  # bootstrapped 8-bit arithmetic (beyond the reference's
                  # leveled-only ops; real noise-resetting circuits)
                  "encryptUint8", "encryptUint8Seeded", "decryptUint8",
-                 "addUint8", "subtractUint8", "multiplyUint8")
+                 "addUint8", "subtractUint8", "multiplyUint8",
+                 "lessThanUint8", "equalsUint8", "selectUint8")
 
 
 def _tfhe_bridge(t: Tfhe) -> lua.LuaTable:

@@ -124,3 +124,25 @@ def test_bootstrapped_uint8_arithmetic_api():
     # bootstrapped multiplication (no reference analog at all)
     assert s.decrypt_uint8_bits(s.multiply_uint8_bits(ca, cb)) == (50 * 8) % 256
     assert s.decrypt_uint8_bits(s.multiply_uint8_bits(c200, c100)) == (200 * 100) % 256
+
+
+def test_uint8_compare_select_api():
+    """Encrypted comparison / equality / select through the string API:
+    results come back as interoperable uint8 0/1 blobs."""
+    from eoc_tfhe_tpu.api.tfhe import TfheSession
+    from eoc_tfhe_tpu.config import FrameworkConfig
+    s = TfheSession(params=make_test_params(),
+                    config=FrameworkConfig(param_set="test",
+                                           eval_key_form="rows"))
+    s.generate_secret_key()
+    ca = s.encrypt_uint8_bits(50)
+    cb = s.encrypt_uint8_bits(200)
+    assert s.decrypt_uint8_bits(s.less_than_uint8_bits(ca, cb)) == 1
+    assert s.decrypt_uint8_bits(s.less_than_uint8_bits(cb, ca)) == 0
+    assert s.decrypt_uint8_bits(s.equals_uint8_bits(ca, ca)) == 1
+    assert s.decrypt_uint8_bits(s.equals_uint8_bits(ca, cb)) == 0
+    # select: the encrypted lt flag routes a word — an oblivious min()
+    lt = s.less_than_uint8_bits(ca, cb)
+    assert s.decrypt_uint8_bits(s.select_uint8_bits(lt, ca, cb)) == 50
+    # flag is a real uint8: it composes with arithmetic
+    assert s.decrypt_uint8_bits(s.add_uint8_bits(lt, ca)) == 51

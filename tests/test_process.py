@@ -216,12 +216,15 @@ def test_bootstrapped_uint8_via_lua():
             local b = Tfhe.encryptUint8(8, '')
             local d = Tfhe.subtractUint8(a, b, '')
             local m = Tfhe.multiplyUint8(a, b, '')
+            local lt = Tfhe.lessThanUint8(b, a, '')
+            local mn = Tfhe.selectUint8(lt, b, a, '')
             return 'diff=' .. Tfhe.decryptUint8(d, '', 'h.p', '')
                 .. ' prod=' .. Tfhe.decryptUint8(m, '', 'h.p', '')
+                .. ' min=' .. Tfhe.decryptUint8(mn, '', 'h.p', '')
         """})
     r = _json.loads(p.handle(msg, env))
     assert r["Error"] is None, r["Error"]
-    assert r["Output"]["data"]["output"].endswith("diff=42 prod=144")
+    assert r["Output"]["data"]["output"].endswith("diff=42 prod=144 min=8")
 
 
 def test_bootstrapped_uint8_seeded_via_lua():

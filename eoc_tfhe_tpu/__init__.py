@@ -12,7 +12,7 @@ Layers (bottom-up, mirroring SURVEY.md §1):
   core.lwe / tlwe / tgsw      — batched ciphertext algebra
   ops.polymul / rotate / keyswitch — the MXU compute kernels
   core.keys / bootstrap / gates    — keygen, gate bootstrapping, boolean API
-  circuits                     — gate-level integer circuits (add/sub/compare)
+  circuits                     — gate-level integer circuits (add/sub/mul/compare/select)
   io.tfhe_io                   — reference-compatible serialization
   api.tfhe                     — the ``Tfhe.*`` wrapper surface (base64 strings)
   parallel                     — mesh/sharding (dp batch, tp keyswitch rows)

@@ -227,3 +227,39 @@ def test_gate_level_freq_split_nand(keyset):
         np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref.b))
         np.testing.assert_array_equal(np.asarray(out_var),
                                       np.asarray(ref.current_variance))
+
+
+def test_dp_sharded_ripple_mul_matches_unsharded(keyset, ek):
+    """The circuit layer shards like the gate layer: a jitted 8-bit
+    bootstrapped multiply with its TRAILING batch axis dp-sharded over the
+    mesh is bit-identical (samples, b, variance rail) to the unsharded run
+    — circuits are just chained gates, so dp scaling carries through
+    (SURVEY §2.4 applied at the circuit level)."""
+    from jax.sharding import NamedSharding, PartitionSpec as Ps
+    from eoc_tfhe_tpu.circuits.adder import ripple_mul
+    from eoc_tfhe_tpu.core.lwe import LweCiphertext
+    mesh = make_mesh(dp=8, tp=1)
+    B = 8
+    rng = np.random.default_rng(17)
+    va, vb = rng.integers(0, 256, B), rng.integers(0, 256, B)
+    bits = lambda v: jnp.asarray(
+        ((v[None, :] >> np.arange(8)[:, None]) & 1).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(41), bits(va), keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(42), bits(vb), keyset.lwe_key, P)
+
+    ref, _ = ripple_mul(ca, cb, ek, P)
+
+    sh = NamedSharding(mesh, Ps(None, "dp"))      # (8 bits, B) — shard B
+    shard = lambda ct: LweCiphertext(
+        a=jax.device_put(ct.a, NamedSharding(mesh, Ps(None, "dp", None))),
+        b=jax.device_put(ct.b, sh),
+        current_variance=jax.device_put(ct.current_variance, sh))
+    f = jax.jit(lambda x, y, e: ripple_mul(x, y, e, P)[0])
+    out = f(shard(ca), shard(cb), ek)
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(out.current_variance),
+                                  np.asarray(ref.current_variance))
+    got = (np.asarray(gates.decrypt_bit(out, keyset.lwe_key))
+           * (1 << np.arange(8))[:, None]).sum(0)
+    np.testing.assert_array_equal(got, (va * vb) % 256)

@@ -8,7 +8,7 @@ vs_baseline is relative to the BASELINE.md target (>= 10k batched gate
 bootstraps/s/chip; the reference publishes no numbers of its own —
 BASELINE.json "published": {}).
 
-Env knobs: EOC_BENCH_BATCH (default 4096), EOC_BENCH_ITERS (default 6),
+Env knobs: EOC_BENCH_BATCH (default 8192), EOC_BENCH_ITERS (default 6),
 EOC_BENCH_PARAMS (128|80|test), EOC_BENCH_SERVER (default 1),
 EOC_BENCH_SERVER_N (default 2048), EOC_BENCH_NO_B1, EOC_BENCH_MESH.
 """
@@ -46,10 +46,10 @@ def main() -> None:
     which = os.environ.get("EOC_BENCH_PARAMS", "128")
     params = {"128": default_128bit_params, "80": default_80bit_params,
               "test": test_params}[which]()
-    # Default batch = FrameworkConfig.batch_size = 4096 (two VMEM-resident
-    # 2048 chunks): the axon relay costs ~25 ms per dispatch
-    # (scripts/probes/tpu_probe5.py), so per-call work must dwarf it;
-    # 4096 measured ~4% over 2048.
+    # Default batch = FrameworkConfig.batch_size = 8192: the axon relay
+    # costs ~25 ms per dispatch (scripts/probes/tpu_probe5.py), so per-call
+    # work must dwarf it; 4096 measured ~4% over 2048, 8192 another +1.4%
+    # (key-DMA amortization), 16k/32k only ~0.5%/0.3% more.
     from eoc_tfhe_tpu.config import DEFAULT_CONFIG
     B = int(os.environ.get("EOC_BENCH_BATCH", str(DEFAULT_CONFIG.batch_size)))
     iters = int(os.environ.get("EOC_BENCH_ITERS", "6"))

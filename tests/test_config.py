@@ -94,7 +94,7 @@ def test_bench_default_batch_comes_from_config():
     import re
     src = open("bench.py").read()
     assert "DEFAULT_CONFIG.batch_size" in src
-    assert DEFAULT_CONFIG.batch_size == 4096
+    assert DEFAULT_CONFIG.batch_size == 8192
 
 
 def test_roundtrip_json():

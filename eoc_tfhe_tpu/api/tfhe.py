@@ -151,10 +151,7 @@ class TfheSession:
             # Bulk codec: one vectorized pack of all per-char UID-42 records
             # (identical bytes to per-record write_lwe_sample calls; the
             # reference loops one export per char, eoc-tfhe-run.cpp:330-334).
-            blob = tfhe_io.pack_lwe_samples(
-                np.asarray(ct.a), np.asarray(ct.b),
-                np.asarray(ct.current_variance, np.float64))
-            return tfhe_io.b64encode(blob)
+            return self._export_samples(ct)
 
     def decrypt_ascii_string(self, b64_ct: str, msg_length: int) -> str:
         ks = self._require_key()
@@ -201,10 +198,7 @@ class TfheSession:
                                bool)
             ct = gates_mod.encrypt_bit(self._next_key(), bits, ks.lwe_key,
                                        self.params)
-            blob = tfhe_io.pack_lwe_samples(
-                np.asarray(ct.a), np.asarray(ct.b),
-                np.asarray(ct.current_variance, np.float64))
-            return tfhe_io.b64encode(blob)
+            return self._export_samples(ct)
 
     def decrypt_uint8_bits(self, b64_ct: str) -> int:
         ks = self._require_key()
@@ -246,6 +240,14 @@ class TfheSession:
         return lwe.LweCiphertext(a=jnp.asarray(a), b=jnp.asarray(b),
                                  current_variance=jnp.asarray(v, jnp.float32))
 
+    def _export_samples(self, ct) -> str:
+        """One canonical LWE-batch export: pack_lwe_samples + base64 (the
+        single place the wire byte layout is produced — r5 review dedup)."""
+        blob = tfhe_io.pack_lwe_samples(
+            np.asarray(ct.a), np.asarray(ct.b),
+            np.asarray(ct.current_variance, np.float64))
+        return tfhe_io.b64encode(blob)
+
     def _circuit_binop(self, op: str, b64_a: str, b64_b: str) -> str:
         self._require_key()
         from ..circuits import adder as circ
@@ -256,10 +258,7 @@ class TfheSession:
         # honor config.rotation_impl like every other gate call (r5 review)
         out, _flag = fn(ca, cb, api.eval_key, api.params,
                         rotation_impl=self.config.rotation_impl)
-        blob = tfhe_io.pack_lwe_samples(
-            np.asarray(out.a), np.asarray(out.b),
-            np.asarray(out.current_variance, np.float64))
-        return tfhe_io.b64encode(blob)
+        return self._export_samples(out)
 
     def add_uint8_bits(self, b64_a: str, b64_b: str) -> str:
         """Bootstrapped 8-bit addition (mod 256) — one MAJ bootstrap per bit
@@ -289,10 +288,7 @@ class TfheSession:
         pad = gates_mod.constant(
             jnp.zeros(bit_ct.b.shape, bool), self.params)
         word = lwe_stack([bit_ct] + [pad] * 7)
-        blob = tfhe_io.pack_lwe_samples(
-            np.asarray(word.a), np.asarray(word.b),
-            np.asarray(word.current_variance, np.float64))
-        return tfhe_io.b64encode(blob)
+        return self._export_samples(word)
 
     def less_than_uint8_bits(self, b64_a: str, b64_b: str) -> str:
         """Bootstrapped unsigned comparison a < b: returns an encrypted
@@ -331,10 +327,7 @@ class TfheSession:
             out = circ.select_word(lwe_index(cc, 0), ca, cb, api.eval_key,
                                    api.params,
                                    rotation_impl=self.config.rotation_impl)
-            blob = tfhe_io.pack_lwe_samples(
-                np.asarray(out.a), np.asarray(out.b),
-                np.asarray(out.current_variance, np.float64))
-            return tfhe_io.b64encode(blob)
+            return self._export_samples(out)
 
 
 class Tfhe:

@@ -81,8 +81,8 @@ def half_adder_fast(a: LweCiphertext, b: LweCiphertext, ek: EvalKey,
     On the ±1/8 encoding, ``enc(a⊕b) = enc(a) + enc(b) − 2·enc(a∧b) − 1/8``
     exactly (t ones → L = (2t−2)/8: t=0 → −2/8+2/8−1/8 = −1/8, t=1 →
     0+2/8−1/8 = 1/8, t=2 → 2/8−2/8−1/8 = −1/8).  Same output-noise
-    contract as full_adder_fast: carry fresh, sum linear (~7× variance,
-    tracked)."""
+    contract as full_adder_fast: carry fresh, sum linear
+    (var(a)+var(b)+4·var(carry) ≈ 6× a fresh output, tracked)."""
     carry = gates.and_(a, b, ek, params, rotation_impl)
     s = lwe_sub_mul(lwe_add(a, b), 2, carry)
     from ..core.lwe import lwe_noiseless_trivial
@@ -173,6 +173,9 @@ def ripple_carry_add(a_bits: LweCiphertext, b_bits: LweCiphertext,
     Returns:
       (sum_bits with shape (nbits, ...), final carry).
     """
+    if mode not in ("fast", "raw", "classic"):
+        raise ValueError(f"unknown ripple mode {mode!r}; "
+                         "'fast', 'raw' or 'classic'")
     nbits = a_bits.b.shape[0]
     carry = gates.constant(
         jax.numpy.zeros(a_bits.b.shape[1:], bool), params)
@@ -210,6 +213,9 @@ def ripple_borrow_sub(a_bits: LweCiphertext, b_bits: LweCiphertext,
     Returns (diff_bits, final borrow) — borrow=1 means a < b (wraparound
     two's-complement result, matching an n-bit CPU SUB).
     """
+    if mode not in ("fast", "raw", "classic"):
+        raise ValueError(f"unknown ripple mode {mode!r}; "
+                         "'fast', 'raw' or 'classic'")
     nbits = a_bits.b.shape[0]
     borrow = gates.constant(
         jax.numpy.zeros(a_bits.b.shape[1:], bool), params)
@@ -253,25 +259,37 @@ def compare_lt(a_bits: LweCiphertext, b_bits: LweCiphertext,
 def equals(a_bits: LweCiphertext, b_bits: LweCiphertext,
            ek: EvalKey, params: GateBootstrappingParams,
            rotation_impl: str = "auto") -> LweCiphertext:
-    """Bitwise equality: AND-reduction of per-bit XNORs (balanced tree)."""
-    nbits = a_bits.b.shape[0]
-    eqs = [gates.xnor(lwe_index(a_bits, i), lwe_index(b_bits, i), ek, params,
-                      rotation_impl) for i in range(nbits)]
-    while len(eqs) > 1:
-        nxt = [gates.and_(eqs[j], eqs[j + 1], ek, params, rotation_impl)
-               for j in range(0, len(eqs) - 1, 2)]
-        if len(eqs) % 2:
-            nxt.append(eqs[-1])
-        eqs = nxt
-    return eqs[0]
+    """Bitwise equality: AND-reduction of per-bit XNORs (balanced tree).
+
+    Batched: ONE XNOR call over the whole bit axis, then log2(n) batched
+    AND levels (halves ANDed against halves; an odd leftover rides along
+    untouched) — 4 gate dispatches at n=8 instead of 15 per-bit calls
+    (each dispatch costs ~25 ms through the axon relay, ROOFLINE.md)."""
+    eqs = gates.xnor(a_bits, b_bits, ek, params, rotation_impl)
+    m = a_bits.b.shape[0]
+    while m > 1:
+        half = m // 2
+        merged = gates.and_(lwe_index(eqs, slice(0, half)),
+                            lwe_index(eqs, slice(half, 2 * half)),
+                            ek, params, rotation_impl)
+        if m % 2:
+            tail = lwe_index(eqs, slice(2 * half, m))
+            merged = LweCiphertext(
+                a=jnp.concatenate([merged.a, tail.a]),
+                b=jnp.concatenate([merged.b, tail.b]),
+                current_variance=jnp.concatenate(
+                    [merged.current_variance, tail.current_variance]))
+        eqs = merged
+        m = half + m % 2
+    return lwe_index(eqs, 0)
 
 
 def select_word(c: LweCiphertext, a_bits: LweCiphertext,
                 b_bits: LweCiphertext, ek: EvalKey,
                 params: GateBootstrappingParams,
                 rotation_impl: str = "auto") -> LweCiphertext:
-    """Per-bit MUX: c ? a : b over whole words (c broadcast across bits)."""
+    """Per-bit MUX: c ? a : b over whole words — ONE batched MUX call with
+    the selector broadcast across the bit axis (not n per-bit dispatches)."""
     nbits = a_bits.b.shape[0]
-    outs = [gates.mux(c, lwe_index(a_bits, i), lwe_index(b_bits, i), ek,
-                      params, rotation_impl) for i in range(nbits)]
-    return lwe_stack(outs)
+    return gates.mux(_lwe_broadcast(c, nbits), a_bits, b_bits, ek,
+                     params, rotation_impl)

@@ -93,7 +93,8 @@ def constant(value: jax.Array, params: GateBootstrappingParams) -> LweCiphertext
 
 @functools.lru_cache(maxsize=None)
 def check_noise_budget(params: GateBootstrappingParams,
-                       sa: int = 2, sb: int = 2, sc: int = 0) -> float:
+                       sa: int = 2, sb: int = 2, sc: int = 0,
+                       sd: int = 0) -> float:
     """Static noise-budget rail at gate boundaries (VERDICT r2 item 6).
 
     Worst case for a two-input gate: each input is itself a worst-case gate
@@ -105,7 +106,8 @@ def check_noise_budget(params: GateBootstrappingParams,
     Returns the predicted input stdev.
     """
     per_input = predicted_bootstrap_variance(params)
-    stdev = float(np.sqrt((sa * sa + sb * sb + sc * sc) * per_input))
+    stdev = float(np.sqrt((sa * sa + sb * sb + sc * sc + sd * sd)
+                          * per_input))
     budget = float(params.in_out_params.alpha_max)
     # Hard rails: each input ciphertext's own variance must respect
     # max_stdev^2, and the combined linear input may not exceed twice the
@@ -227,6 +229,13 @@ def refresh(ct, ek, params, rotation_impl="auto"):
     reset the accumulated variance of linearly-combined ciphertexts (the
     fast adder's sum bits); safe whenever the input phase stdev keeps the
     1/8 decision margin (the input's tracked current_variance is the rail).
+
+    The static rail models the WORST input this gate is actually fed: a
+    fast-adder raw sum, var(a)+var(b)+var(c)+4·var(maj) = 7 fresh outputs
+    (coefficients (2,1,1,1)) — sqrt(7)·sigma, slightly under the classic
+    XOR path's own sqrt(8)·sigma, so any parameter set that passes the
+    classic rail passes this one too (and a set that fails it fails here
+    LOUDLY instead of silently refreshing past the margin).
     """
-    check_noise_budget(params, 1, 0)
+    check_noise_budget(params, 2, 1, 1, 1)
     return bootstrap(jnp.int32(_1S8), ct, ek, params, rotation_impl)

@@ -156,8 +156,8 @@ class GateServer:
         return fut
 
     def submit_uint8(self, op: str, ca_bits, cb_bits) -> Future:
-        """Queue a whole bootstrapped 8-bit operation (``"add"``/``"sub"``,
-        mod 256).  Operands: ``LweCiphertext`` or ``SeededLweCiphertext``
+        """Queue a whole bootstrapped 8-bit operation (``"add"``/``"sub"``/
+        ``"mul"``, mod 256).  Operands: ``LweCiphertext`` or ``SeededLweCiphertext``
         with batch shape (8,) — one gate-encoded bit per slot, LSB first
         (the ``api.tfhe`` uint8 wire layout).  Requests batch across
         CLIENTS: one flush runs the ripple circuit once for the whole

@@ -277,3 +277,14 @@ def test_ripple_mul_8bit(keyset, ek):
     s_classic, _ = ripple_carry_add(ca, cb, ek, P, mode="classic")
     np.testing.assert_allclose(v, np.asarray(s_classic.current_variance),
                                rtol=1e-6)
+
+
+def test_ripple_mode_validation(keyset, ek):
+    """Unknown mode strings raise instead of silently running unrefreshed."""
+    from eoc_tfhe_tpu.circuits.adder import ripple_borrow_sub
+    ca = gates.encrypt_bit(jax.random.key(80), jnp.asarray(_bits([3], 8)),
+                          keyset.lwe_key, P)
+    with pytest.raises(ValueError, match="unknown ripple mode"):
+        ripple_carry_add(ca, ca, ek, P, mode="Fast")
+    with pytest.raises(ValueError, match="unknown ripple mode"):
+        ripple_borrow_sub(ca, ca, ek, P, mode="")

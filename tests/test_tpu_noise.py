@@ -100,3 +100,25 @@ def test_circuit_chain_correct_on_chip(mode):
     got = np.array([sum(int(bits[i, j]) << i for i in range(8))
                     for j in range(B)])
     np.testing.assert_array_equal(got, (va + vb) % 256)
+
+
+def test_multiplier_correct_on_chip():
+    """The bootstrapped 8x8 multiplier at production params on the real
+    chip: deep MAJ-chain + per-row refresh composition (the deepest
+    circuit in the repo) decrypts exactly."""
+    params = default_128bit_params()
+    ks = _keyset(params)
+    ek = bootstrap.prepare_eval_key_ntt(ks.cloud, params)
+    from eoc_tfhe_tpu.circuits.adder import ripple_mul
+    B = 64
+    rng = np.random.default_rng(9)
+    va = rng.integers(0, 256, B)
+    vb = rng.integers(0, 256, B)
+    bits = lambda v: jnp.asarray(
+        ((v[None, :] >> np.arange(8)[:, None]) & 1).astype(bool))
+    ca = gates.encrypt_bit(jax.random.key(8), bits(va), ks.lwe_key, params)
+    cb = gates.encrypt_bit(jax.random.key(9), bits(vb), ks.lwe_key, params)
+    p, _ = jax.jit(lambda x, y, e: ripple_mul(x, y, e, params))(ca, cb, ek)
+    got = (np.asarray(gates.decrypt_bit(p, ks.lwe_key))
+           * (1 << np.arange(8))[:, None]).sum(0)
+    np.testing.assert_array_equal(got, (va * vb) % 256)

@@ -288,3 +288,41 @@ def test_ripple_mode_validation(keyset, ek):
         ripple_carry_add(ca, ca, ek, P, mode="Fast")
     with pytest.raises(ValueError, match="unknown ripple mode"):
         ripple_borrow_sub(ca, ca, ek, P, mode="")
+
+
+def test_ripple_16bit(keyset, ek):
+    """The ripple circuits are n-bit generic: 16-bit add and subtract
+    (fast mode) against plaintext."""
+    rng = np.random.default_rng(5)
+    a_vals = rng.integers(0, 1 << 16, 4)
+    b_vals = rng.integers(0, 1 << 16, 4)
+    ca = gates.encrypt_bit(jax.random.key(90), jnp.asarray(_bits(a_vals, 16)),
+                          keyset.lwe_key, P)
+    cb = gates.encrypt_bit(jax.random.key(91), jnp.asarray(_bits(b_vals, 16)),
+                          keyset.lwe_key, P)
+    s, cy = ripple_carry_add(ca, cb, ek, P)
+    np.testing.assert_array_equal(
+        _from_bits(gates.decrypt_bit(s, keyset.lwe_key)),
+        (a_vals + b_vals) % (1 << 16))
+    np.testing.assert_array_equal(gates.decrypt_bit(cy, keyset.lwe_key),
+                                  (a_vals + b_vals) >= (1 << 16))
+
+
+def test_oblivious_max_reduction(keyset, ek):
+    """Composition of the comparison surface: encrypted max() over four
+    words via compare_lt + select_word chains — every intermediate stays
+    encrypted and the data path is value-independent."""
+    from eoc_tfhe_tpu.circuits.adder import compare_lt, select_word
+    vals = np.array([[13, 200, 77, 146]])
+    cts = [gates.encrypt_bit(jax.random.key(95 + i),
+                            jnp.asarray(_bits(vals[:, i], 8)),
+                            keyset.lwe_key, P)
+           for i in range(4)]
+
+    def emax(x, y):
+        lt = compare_lt(x, y, ek, P)         # x < y
+        return select_word(lt, y, x, ek, P)  # lt ? y : x
+
+    m = emax(emax(cts[0], cts[1]), emax(cts[2], cts[3]))
+    np.testing.assert_array_equal(
+        _from_bits(gates.decrypt_bit(m, keyset.lwe_key)), [200])
